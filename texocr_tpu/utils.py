@@ -1,0 +1,95 @@
+"""Host-side utilities.
+
+Re-implements the reference's utility semantics (reference: utils.py) where
+they are behaviour-critical for parity:
+
+- ``process_output`` — LaTeX whitespace post-processing (utils.py:73-79).
+- ``topk_filter_size`` — the fp-quirky top-k size: ``int((1-0.9)*1000) == 99``
+  not 100 (utils.py:85-91, verified in SURVEY.md §2.4).
+- SAME-padding math used by the weight-standardized convs (utils.py:93-123).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import List, Tuple
+
+import jax.numpy as jnp
+
+
+def process_output(output: str) -> str:
+    """Strip whitespace from decoded LaTeX, keeping the single space a LaTeX
+    command needs before an alphanumeric argument (reference utils.py:73-79).
+
+    '\\int _ { 0 } ^ { 1 } x ^ 2 d x' -> '\\int_{0}^{1}x^2dx'
+    """
+    output = re.sub(r"(\\[a-zA-Z]+)\s+([a-zA-Z0-9])", r"\1<SPACE>\2", output)
+    output = re.sub(r"\s+", "", output)
+    output = output.replace("<SPACE>", " ")
+    return output
+
+
+def topk_filter_size(vocab_size: int, threshold: float = 0.9) -> int:
+    """Number of logits kept by the reference's top-k filter.
+
+    The reference computes ``int((1 - threshold) * V)`` (utils.py:87); for
+    threshold=0.9, V=1000 float arithmetic gives 99.999... -> 99, not 100.
+    We reproduce the exact expression so the filter size matches bit-for-bit.
+    """
+    return int((1 - threshold) * vocab_size)
+
+
+def topk_filter(logits: jnp.ndarray, threshold: float = 0.9) -> jnp.ndarray:
+    """Keep the top-k logits, setting the rest to -inf (reference utils.py:85-91).
+
+    ``logits``: (..., V). Static k derived from the vocab size.
+    """
+    k = topk_filter_size(logits.shape[-1], threshold)
+    kth_val = jnp.sort(logits, axis=-1)[..., -k][..., None]
+    return jnp.where(logits >= kth_val, logits, -jnp.inf)
+
+
+def max_negative_val(dtype) -> float:
+    """Most negative finite value for a dtype (reference utils.py:81-83)."""
+    return -float(jnp.finfo(dtype).max)
+
+
+# ---------------------------------------------------------------------------
+# SAME-padding math (reference utils.py:93-123). The convs in the JAX model
+# use lax's 'SAME' padding, which matches the reference's dynamic pad_same
+# split (lo = total // 2, hi = total - lo) exactly; these helpers exist for
+# host-side shape planning and for the test suite to cross-check that claim.
+# ---------------------------------------------------------------------------
+
+
+def get_padding(kernel_size: int, stride: int = 1, dilation: int = 1) -> int:
+    """Static symmetric padding for a conv layer (reference utils.py:93-96)."""
+    return ((stride - 1) + dilation * (kernel_size - 1)) // 2
+
+
+def get_same_padding(x: int, k: int, s: int, d: int = 1) -> int:
+    """Total SAME padding along one spatial dim (reference utils.py:98-100)."""
+    return max((math.ceil(x / s) - 1) * s + (k - 1) * d + 1 - x, 0)
+
+
+def is_static_pad(kernel_size: int, stride: int = 1, dilation: int = 1) -> bool:
+    """Whether SAME padding is input-independent (reference utils.py:102-104)."""
+    return stride == 1 and (dilation * (kernel_size - 1)) % 2 == 0
+
+
+def same_pad_lo_hi(x: int, k: int, s: int, d: int = 1) -> Tuple[int, int]:
+    """(lo, hi) SAME padding split used by the reference (utils.py:116-123)."""
+    total = get_same_padding(x, k, s, d)
+    return total // 2, total - total // 2
+
+
+def pad_to_multiple(x: int, multiple: int) -> int:
+    """Round ``x`` up to the next multiple (render-time canvas rule:
+    reference render_data.py:81-92 pads height to 16k and width to 64k)."""
+    return ((x + multiple - 1) // multiple) * multiple
+
+
+def exact_match(pred: List[int], target: List[int]) -> bool:
+    """Token-level exact match between two id sequences."""
+    return list(pred) == list(target)
