@@ -7,14 +7,23 @@ path is exercised by bench.py and the driver's compile checks.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the environment points JAX at a TPU (e.g.
+# JAX_PLATFORMS=axon): unit tests must not grab the chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
 import pytest  # noqa: E402
+
+# Numeric parity tests compare float32 against the PyTorch reference; XLA:CPU's
+# "default" matmul/conv precision accumulates in reduced precision (~1e-1
+# absolute error on the ResNet stem), so force full fp32 in tests. Production
+# TPU runs keep the default (bf16 MXU passes) for speed.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 
 @pytest.fixture(scope="session")

@@ -122,6 +122,9 @@ class ModelConfig:
             embed_dim=enc_args["embed_dim"],
             num_layers=enc_args["num_layers"],
             heads=enc_args["heads"],
+            resnet_depths=tuple(enc_args.get("resnet_depths", (2, 4, 6))),
+            resnet_channels=tuple(enc_args.get("resnet_channels", (256, 512, 1024))),
+            stem_channels=enc_args.get("stem_channels", 64),
         )
         decoder = DecoderConfig(
             vocab_size=config["vocab_size"],

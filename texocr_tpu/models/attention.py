@@ -1,0 +1,330 @@
+"""Multi-head attention and the shared-norm attention stack.
+
+Replicates the reference's non-standard architecture exactly (required for
+checkpoint parity; reference attention.py:70-281):
+
+- QKV projections WITHOUT bias to inner dim heads*64 (512), which differs
+  from the 256 embed dim (attention.py:87-91).
+- Output projection is Dense(512 -> 2*embed) followed by a GLU gate
+  (attention.py:96-99).
+- ONE LayerNorm instance is shared by every pre-norm and inter-layer norm in
+  the stack (attention.py:200,221), and each non-final sub-layer output gets
+  an extra post-residual norm (attention.py:257-259) — a "double-norm"
+  residual stream. We reproduce both.
+- Masked positions are filled with -finfo.max (not -inf), so fully-masked
+  rows softmax to uniform exactly like the reference (attention.py:149-163).
+
+Attention math runs through ``texocr_tpu.ops.attention_core`` so the XLA
+einsum path and the Pallas flash-attention path are interchangeable.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from texocr_tpu.models.layers import MLP, Dtype, TorchDense
+from texocr_tpu.ops.attention_core import attention_core
+
+KVCache = Dict[str, jnp.ndarray]
+
+
+def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
+    b, n, _ = x.shape
+    return x.reshape(b, n, heads, -1).transpose(0, 2, 1, 3)  # (B, H, N, dh)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, n, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+
+
+class MultiHeadAttention(nn.Module):
+    """Self- or cross-attention; self vs cross is chosen by whether ``context``
+    is provided (reference attention.py:113-117)."""
+
+    embed_dim: int
+    heads: int = 8
+    dim_head: int = 64
+    causal: bool = False
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+    use_flash: bool = False
+
+    def setup(self):
+        inner = self.heads * self.dim_head
+        self.q_proj = TorchDense(inner, use_bias=False, dtype=self.dtype, name="q")
+        self.k_proj = TorchDense(inner, use_bias=False, dtype=self.dtype, name="k")
+        self.v_proj = TorchDense(inner, use_bias=False, dtype=self.dtype, name="v")
+        self.out_proj = TorchDense(self.embed_dim * 2, dtype=self.dtype, name="fc_out")
+
+    def project_kv(self, src: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """K/V head projections of ``src`` — exposed so decode can cache the
+        cross-attention projections of the encoder output once."""
+        return (
+            _split_heads(self.k_proj(src), self.heads),
+            _split_heads(self.v_proj(src), self.heads),
+        )
+
+    def _finish(self, out_heads: jnp.ndarray) -> jnp.ndarray:
+        out = self.out_proj(_merge_heads(out_heads))
+        value, gate = jnp.split(out, 2, axis=-1)  # torch nn.GLU
+        return value * jax.nn.sigmoid(gate)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: Optional[jnp.ndarray] = None,
+        mask: Optional[jnp.ndarray] = None,
+        context_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Full (uncached) attention over (B, N, D) inputs.
+
+        ``mask``: (B, Nq) bool query-side padding mask; ``context_mask``:
+        (B, Nk) key-side mask for cross attention. Mask composition follows
+        reference attention.py:129-164: the input mask is the q x k outer
+        product; for self-attention the key mask is the query mask.
+        """
+        q = _split_heads(self.q_proj(x), self.heads)
+        src = x if context is None else context
+        k, v = self.project_kv(src)
+
+        allowed = None  # (B, 1, Nq, Nk) bool, True = may attend
+        if mask is not None or context_mask is not None:
+            q_mask = (
+                mask
+                if mask is not None
+                else jnp.ones(x.shape[:2], dtype=jnp.bool_)
+            )
+            if context is None:
+                k_mask = q_mask
+            else:
+                k_mask = (
+                    context_mask
+                    if context_mask is not None
+                    else jnp.ones(src.shape[:2], dtype=jnp.bool_)
+                )
+            allowed = q_mask[:, None, :, None] & k_mask[:, None, None, :]
+
+        out = attention_core(
+            q,
+            k,
+            v,
+            scale=self.dim_head**-0.5,
+            allowed=allowed,
+            causal=self.causal,
+            use_flash=self.use_flash,
+        )
+        if self.dropout > 0.0 and not deterministic:
+            # Reference applies dropout to the post-softmax attention map; the
+            # default config uses dropout=0 here (SURVEY.md §2.1), so the
+            # flash path may ignore it.
+            pass
+        return self._finish(out)
+
+    def step(
+        self,
+        x_t: jnp.ndarray,
+        cache_k: jnp.ndarray,
+        cache_v: jnp.ndarray,
+        index: jnp.ndarray,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Single cached self-attention decode step.
+
+        ``x_t``: (B, 1, D) current-token activations; ``cache_k``/``cache_v``:
+        (B, H, T_max, dh); ``index``: scalar int32 current position. Returns
+        (out (B, 1, D), new_cache_k, new_cache_v). Causality is enforced by
+        masking keys at positions > index.
+        """
+        q = _split_heads(self.q_proj(x_t), self.heads)  # (B, H, 1, dh)
+        k_t, v_t = self.project_kv(x_t)  # (B, H, 1, dh)
+        cache_k = jax.lax.dynamic_update_slice(cache_k, k_t, (0, 0, index, 0))
+        cache_v = jax.lax.dynamic_update_slice(cache_v, v_t, (0, 0, index, 0))
+
+        t_max = cache_k.shape[2]
+        key_ok = (jnp.arange(t_max) <= index)[None, None, None, :]
+        out = attention_core(
+            q,
+            cache_k,
+            cache_v,
+            scale=self.dim_head**-0.5,
+            allowed=key_ok,
+            causal=False,  # handled by key_ok
+        )
+        return self._finish(out), cache_k, cache_v
+
+    def attend_cached_kv(
+        self,
+        x_t: jnp.ndarray,
+        k: jnp.ndarray,
+        v: jnp.ndarray,
+        key_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Cross-attention decode step against precomputed K/V (B, H, Nk, dh)."""
+        q = _split_heads(self.q_proj(x_t), self.heads)
+        allowed = None if key_mask is None else key_mask[:, None, None, :]
+        out = attention_core(
+            q, k, v, scale=self.dim_head**-0.5, allowed=allowed, causal=False
+        )
+        return self._finish(out)
+
+
+class AttentionStack(nn.Module):
+    """Stack of (self[, cross], mlp) sub-layers with the reference's shared
+    LayerNorm and double-norm residual stream (reference attention.py:183-269)."""
+
+    embed_dim: int
+    num_layers: int
+    heads: int = 8
+    dim_head: int = 64
+    causal: bool = False
+    cross_attend: bool = False
+    glu: bool = True
+    exp_factor: int = 4
+    ff_dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+    use_flash: bool = False
+
+    def setup(self):
+        # ONE norm instance, reused everywhere (reference attention.py:200,221).
+        self.shared_norm = nn.LayerNorm(
+            epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32
+        )
+        self.self_attns = [
+            MultiHeadAttention(
+                embed_dim=self.embed_dim,
+                heads=self.heads,
+                dim_head=self.dim_head,
+                causal=self.causal,
+                dtype=self.dtype,
+                use_flash=self.use_flash,
+            )
+            for _ in range(self.num_layers)
+        ]
+        if self.cross_attend:
+            self.cross_attns = [
+                MultiHeadAttention(
+                    embed_dim=self.embed_dim,
+                    heads=self.heads,
+                    dim_head=self.dim_head,
+                    causal=False,
+                    dtype=self.dtype,
+                    use_flash=self.use_flash,
+                )
+                for _ in range(self.num_layers)
+            ]
+        self.mlps = [
+            MLP(
+                embed_dim=self.embed_dim,
+                exp_factor=self.exp_factor,
+                glu=self.glu,
+                dropout=self.ff_dropout,
+                dtype=self.dtype,
+            )
+            for _ in range(self.num_layers)
+        ]
+
+    def _norm(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.shared_norm(x.astype(jnp.float32)).astype(self.dtype)
+
+    def _sublayers(self, layer: int) -> List[Tuple[str, Any]]:
+        subs: List[Tuple[str, Any]] = [("self", self.self_attns[layer])]
+        if self.cross_attend:
+            subs.append(("cross", self.cross_attns[layer]))
+        subs.append(("mlp", self.mlps[layer]))
+        return subs
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        enc: Optional[jnp.ndarray] = None,
+        mask: Optional[jnp.ndarray] = None,
+        enc_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        if self.cross_attend and enc is None:
+            raise ValueError("Must provide enc if cross_attend is True.")
+        n_sub = self.num_layers * (3 if self.cross_attend else 2)
+        idx = 0
+        for layer in range(self.num_layers):
+            for kind, block in self._sublayers(layer):
+                residual = x
+                h = self._norm(x)
+                if kind == "self":
+                    out = block(h, mask=mask, deterministic=deterministic)
+                elif kind == "cross":
+                    out = block(
+                        h,
+                        context=enc,
+                        mask=mask,
+                        context_mask=enc_mask,
+                        deterministic=deterministic,
+                    )
+                else:
+                    out = block(h, deterministic=deterministic)
+                x = out + residual
+                idx += 1
+                if idx != n_sub:  # extra norm on all but the last sub-layer
+                    x = self._norm(x)
+        return x
+
+    # ------------------------------------------------------------------
+    # Cached decode path
+    # ------------------------------------------------------------------
+
+    def init_cache(self, batch: int, max_len: int) -> KVCache:
+        """Zeroed static-shape self-attention KV cache."""
+        shape = (self.num_layers, batch, self.heads, max_len, self.dim_head)
+        return {
+            "k": jnp.zeros(shape, dtype=self.dtype),
+            "v": jnp.zeros(shape, dtype=self.dtype),
+        }
+
+    def precompute_cross_kv(self, enc: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Per-layer cross-attention K/V of the encoder output, computed once
+        per sequence: (L, B, H, Nk, dh) each."""
+        ks, vs = [], []
+        for layer in range(self.num_layers):
+            k, v = self.cross_attns[layer].project_kv(enc)
+            ks.append(k)
+            vs.append(v)
+        return jnp.stack(ks), jnp.stack(vs)
+
+    def step(
+        self,
+        x_t: jnp.ndarray,
+        cache: KVCache,
+        index: jnp.ndarray,
+        cross_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        enc_mask: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, KVCache]:
+        """One decode step over the whole stack for (B, 1, D) input."""
+        n_sub = self.num_layers * (3 if self.cross_attend else 2)
+        new_k, new_v = [], []
+        idx = 0
+        x = x_t
+        for layer in range(self.num_layers):
+            for kind, block in self._sublayers(layer):
+                residual = x
+                h = self._norm(x)
+                if kind == "self":
+                    out, ck, cv = block.step(
+                        h, cache["k"][layer], cache["v"][layer], index
+                    )
+                    new_k.append(ck)
+                    new_v.append(cv)
+                elif kind == "cross":
+                    out = block.attend_cached_kv(
+                        h, cross_kv[0][layer], cross_kv[1][layer], key_mask=enc_mask
+                    )
+                else:
+                    out = block(h, deterministic=True)
+                x = out + residual
+                idx += 1
+                if idx != n_sub:
+                    x = self._norm(x)
+        return x, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}

@@ -1,0 +1,120 @@
+"""Causal cross-attending transformer decoder (reference model/decoder.py).
+
+Token embedding (N(0, 0.02)) + learned absolute positional embedding
+(N(0, 0.02)) -> embed dropout -> shared-norm attention stack (causal self +
+cross) -> final LayerNorm -> logits projection (reference decoder.py:10-67).
+
+Two execution paths:
+- ``__call__``: full teacher-forced forward over (B, T) tokens (training /
+  parity checks).
+- ``precompute_cross_kv`` + ``init_cache`` + ``step``: the KV-cached decode
+  path driven by ``texocr_tpu.models.generate`` inside a jitted
+  ``lax.while_loop`` — this replaces the reference's O(T^2) full re-forward
+  generation loop (reference decoder.py:97-116).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from texocr_tpu.config import DecoderConfig
+from texocr_tpu.models.attention import AttentionStack, KVCache
+from texocr_tpu.models.layers import Dtype, TorchDense, normal_init
+
+
+class TransformerDecoder(nn.Module):
+    config: DecoderConfig
+    dtype: Dtype = jnp.float32
+    use_flash: bool = False
+
+    def setup(self):
+        cfg = self.config
+        self.token_embedding = nn.Embed(
+            cfg.vocab_size,
+            cfg.embed_dim,
+            embedding_init=normal_init(0.02),
+            param_dtype=jnp.float32,
+            dtype=self.dtype,
+            name="token_embedding",
+        )
+        self.pos_embedding = nn.Embed(
+            cfg.max_length,
+            cfg.embed_dim,
+            embedding_init=normal_init(0.02),
+            param_dtype=jnp.float32,
+            dtype=self.dtype,
+            name="pos_embedding",
+        )
+        self.embed_dropout = nn.Dropout(cfg.dropout)
+        self.attn_layers = AttentionStack(
+            embed_dim=cfg.embed_dim,
+            num_layers=cfg.num_layers,
+            heads=cfg.heads,
+            causal=True,
+            cross_attend=cfg.cross_attend,
+            glu=cfg.glu,
+            exp_factor=cfg.exp_factor,
+            ff_dropout=0.0,  # reference passes no dropout into ff_kwargs
+            dtype=self.dtype,
+            use_flash=self.use_flash,
+            name="attn_layers",
+        )
+        self.norm = nn.LayerNorm(
+            epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="norm"
+        )
+        self.to_logits = TorchDense(
+            cfg.vocab_size, dtype=self.dtype, name="to_logits"
+        )
+
+    def _embed(self, tokens: jnp.ndarray, positions: jnp.ndarray) -> jnp.ndarray:
+        return self.token_embedding(tokens) + self.pos_embedding(positions)
+
+    def __call__(
+        self,
+        tokens: jnp.ndarray,
+        enc: Optional[jnp.ndarray] = None,
+        mask: Optional[jnp.ndarray] = None,
+        enc_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Teacher-forced logits for (B, T) token ids -> (B, T, V)."""
+        t = tokens.shape[1]
+        x = self._embed(tokens, jnp.arange(t)[None, :])
+        x = self.embed_dropout(x, deterministic=deterministic)
+        x = self.attn_layers(
+            x, enc=enc, mask=mask, enc_mask=enc_mask, deterministic=deterministic
+        )
+        x = self.norm(x.astype(jnp.float32)).astype(self.dtype)
+        return self.to_logits(x)
+
+    # -- cached decode --------------------------------------------------------
+
+    def init_cache(self, batch: int, max_len: int) -> KVCache:
+        return self.attn_layers.init_cache(batch, max_len)
+
+    def precompute_cross_kv(
+        self, enc: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return self.attn_layers.precompute_cross_kv(enc)
+
+    def step(
+        self,
+        token_t: jnp.ndarray,
+        index: jnp.ndarray,
+        cache: KVCache,
+        cross_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        enc_mask: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, KVCache]:
+        """Next-token logits for the token at absolute position ``index``.
+
+        token_t: (B,) int32; returns ((B, V) logits, updated cache).
+        """
+        x = self._embed(token_t[:, None], index[None, None])
+        x, cache = self.attn_layers.step(
+            x, cache, index, cross_kv=cross_kv, enc_mask=enc_mask
+        )
+        x = self.norm(x.astype(jnp.float32)).astype(self.dtype)
+        return self.to_logits(x)[:, 0, :], cache
