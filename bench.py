@@ -1,0 +1,122 @@
+"""Headline benchmark: batched greedy decode throughput on one TPU chip.
+
+Task (matches BASELINE.json config #2, and the baseline measured from the
+PyTorch reference on this host's CPU by tools/measure_reference_baseline.py):
+flagship model (hybrid ResNet+ViT encoder at the (160, 1008) max canvas,
+4-layer decoder), batch 64, greedy decode for a FIXED 256 steps (EOS
+early-exit disabled so the number is shape-honest), bfloat16 compute.
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": ..., "value": images/sec/chip, "unit": ..., "vs_baseline": x}
+Diagnostics go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+# Keep the CPU backend available for cheap host-side param init alongside
+# whatever accelerator platform the environment selects.
+_plat = os.environ.get("JAX_PLATFORMS", "")
+if _plat and "cpu" not in _plat.split(","):
+    os.environ["JAX_PLATFORMS"] = _plat + ",cpu"
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from texocr_tpu.models import OCRModel  # noqa: E402
+from texocr_tpu.models.generate import greedy_decode  # noqa: E402
+from __graft_entry__ import _flagship_config  # noqa: E402
+
+BATCH = 64
+DECODE_STEPS = 256
+H, W = 160, 1008
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    dev = jax.devices()[0]
+    log(f"benchmark device: {dev}")
+
+    model = OCRModel(_flagship_config(max_length=512, dtype="bfloat16"))
+
+    # Init on CPU (shapes don't depend on the image size), transfer once.
+    cpu = jax.local_devices(backend="cpu")[0]
+    t0 = time.time()
+    with jax.default_device(cpu):
+        init_imgs = jnp.zeros((1, 32, 64, 1), jnp.float32)
+        init_lbls = jnp.full((1, 8), 999, jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), init_imgs, init_lbls)
+    params = jax.device_put(params, dev)
+    log(f"param init: {time.time()-t0:.1f}s")
+
+    # Distinct image batches per timed run: the tunnel runtime short-circuits
+    # repeated executions on identical input buffers, which would fake the
+    # timing (observed: 0.8ms "runs" on reused buffers vs ~2s on fresh ones).
+    rng = np.random.default_rng(0)
+    batches = [
+        jax.device_put(
+            jnp.asarray(rng.random((BATCH, H, W, 1), dtype=np.float32)), dev
+        )
+        for _ in range(4)
+    ]
+    images = batches[0]
+
+    cfg = model.config
+
+    @jax.jit
+    def decode(params, images):
+        enc = model.apply(params, images, method=OCRModel.encode)
+        return greedy_decode(
+            model,
+            params,
+            enc,
+            bos_token=cfg.bos_token,
+            eos_token=-1,  # disable early exit: fixed 256-step measurement
+            pad_token=cfg.pad_token,
+            max_len=DECODE_STEPS,
+        )
+
+    t0 = time.time()
+    jax.block_until_ready(decode(params, images))
+    log(f"compile + first run: {time.time()-t0:.1f}s")
+
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        jax.block_until_ready(decode(params, batches[1 + i]))
+        times.append(time.time() - t0)
+    best = min(times)
+    ips = BATCH / best
+    log(f"runs: {[f'{t:.3f}s' for t in times]} -> {ips:.1f} images/sec")
+
+    baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+    vs = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)
+        vs = ips / baseline["value"]
+        log(
+            f"baseline: {baseline['value']:.3f} images/sec "
+            f"({baseline['hardware']}) -> {vs:.1f}x"
+        )
+
+    print(
+        json.dumps(
+            {
+                "metric": "batch64_greedy_decode_256steps_images_per_sec",
+                "value": round(ips, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(vs, 2) if vs is not None else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

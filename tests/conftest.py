@@ -19,6 +19,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
+# The environment's TPU plugin ("axon") force-sets jax_platforms at import
+# time, ignoring JAX_PLATFORMS and XLA_FLAGS device forcing — override it
+# back: unit tests run on 8 fake CPU devices, never on the chip.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 # Numeric parity tests compare float32 against the PyTorch reference; XLA:CPU's
 # "default" matmul/conv precision accumulates in reduced precision (~1e-1
 # absolute error on the ResNet stem), so force full fp32 in tests. Production

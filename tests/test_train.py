@@ -1,0 +1,87 @@
+"""Training step: loss decreases; runs sharded over a fake 8-device mesh
+(data parallel and data x tensor parallel)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from texocr_tpu.models import OCRModel
+from texocr_tpu.parallel import create_mesh
+from texocr_tpu.training.optimizers import get_optimizer
+from texocr_tpu.training.train_step import (
+    create_train_state,
+    make_train_step,
+    put_batch,
+)
+
+from tests.tiny import tiny_model_config
+
+
+def _batch(batch=8, seq=12):
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(batch, 32, 64, 1)).astype(np.float32)
+    labels = rng.integers(0, 40, size=(batch, seq)).astype(np.int32)
+    labels[:, 0] = 48
+    labels[:, -2] = 47
+    labels[:, -1] = 49
+    return jnp.asarray(images), jnp.asarray(labels)
+
+
+def _run_steps(mesh_spec, n_steps=5):
+    model = OCRModel(tiny_model_config())
+    tx = get_optimizer("Adam", {"lr": 1e-3})
+    mesh = create_mesh(mesh_spec)
+    images, labels = _batch()
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0), images, labels, mesh=mesh
+    )
+    step = make_train_step(model, tx)
+    images, labels = put_batch(mesh, images, labels)
+    losses = []
+    for _ in range(n_steps):
+        state, metrics = step(state, images, labels)
+        losses.append(float(metrics["loss"]))
+    return losses
+
+
+def test_devices_available():
+    assert jax.device_count() == 8  # conftest forces the fake CPU platform
+
+
+def test_loss_decreases_data_parallel():
+    losses = _run_steps({"data": 8})
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+def test_loss_decreases_tensor_parallel():
+    losses = _run_steps({"data": 4, "model": 2})
+    assert losses[-1] < losses[0]
+
+
+def test_dp_and_tp_agree():
+    """The same batch/seed gives the same loss trajectory regardless of mesh
+    layout (within fp tolerance)."""
+    a = _run_steps({"data": 8}, n_steps=3)
+    b = _run_steps({"data": 2, "model": 4}, n_steps=3)
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+def test_unmasked_parity_loss_mode():
+    model = OCRModel(tiny_model_config())
+    tx = get_optimizer("Adam", {"lr": 1e-3})
+    mesh = create_mesh({"data": 1, "model": 1}, devices=jax.devices()[:1])
+    images, labels = _batch()
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0), images, labels, mesh=mesh
+    )
+    masked = make_train_step(model, tx, mask_pad=True)
+    unmasked = make_train_step(model, tx, mask_pad=False)
+    # Different loss definitions -> different values on pad-bearing batches.
+    _, m1 = masked(state, images, labels)
+    state2 = create_train_state(
+        model, tx, jax.random.PRNGKey(0), images, labels, mesh=mesh
+    )
+    _, m2 = unmasked(state2, images, labels)
+    assert not np.isclose(float(m1["loss"]), float(m2["loss"]))

@@ -1,0 +1,52 @@
+"""Native checkpointing via orbax: (params, opt_state, step) with the same
+cadence semantics as the reference (reference utils.py:52-71 writes
+checkpoints/checkpoint_e{epoch}.pth gated by save_checkpoint/save_freq)."""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _path(save_dir: str, epoch: int) -> str:
+    return os.path.abspath(os.path.join(save_dir, f"checkpoint_e{epoch}"))
+
+
+def save_checkpoint(save_dir: str, epoch: int, params, opt_state=None, extra=None):
+    """Write checkpoints/checkpoint_e{epoch}/ (orbax PyTree checkpoint)."""
+    os.makedirs(save_dir, exist_ok=True)
+    payload = {"params": params, "epoch": epoch}
+    if opt_state is not None:
+        payload["opt_state"] = opt_state
+    if extra:
+        payload.update(extra)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(_path(save_dir, epoch), payload, force=True)
+
+
+def load_checkpoint(path: str, template: Optional[Any] = None) -> dict:
+    """Restore a checkpoint directory. ``template`` (matching pytree of
+    ShapeDtypeStructs or arrays) restores with correct shardings/dtypes."""
+    ckptr = ocp.PyTreeCheckpointer()
+    if template is not None:
+        return ckptr.restore(os.path.abspath(path), item=template)
+    return ckptr.restore(os.path.abspath(path))
+
+
+def latest_checkpoint(save_dir: str) -> Optional[str]:
+    """Highest-epoch checkpoint_e* directory, or None."""
+    if not os.path.isdir(save_dir):
+        return None
+    best, best_epoch = None, -1
+    for name in os.listdir(save_dir):
+        if name.startswith("checkpoint_e"):
+            try:
+                epoch = int(name[len("checkpoint_e"):])
+            except ValueError:
+                continue
+            if epoch > best_epoch:
+                best, best_epoch = os.path.join(save_dir, name), epoch
+    return best

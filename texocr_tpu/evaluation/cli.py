@@ -1,0 +1,62 @@
+"""Evaluation CLI (the reference test.py's job, working):
+``python -m texocr_tpu.evaluation.cli -d data --config config/config.yml
+[--checkpoint path] [--max_len 276]``."""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from texocr_tpu.config import ModelConfig, load_config
+from texocr_tpu.data.dataset import ImageDataset
+from texocr_tpu.evaluation.evaluate import test_model
+from texocr_tpu.models import OCRModel
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Evaluate the TexOCR model.")
+    p.add_argument("-d", "--data_dir", type=str, default="data")
+    p.add_argument("--config", type=str, default="config/config.yml")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help=".pth (reference) or orbax checkpoint dir")
+    p.add_argument("--max_len", type=int, default=276)
+    p.add_argument("--max_batches", type=int, default=None)
+    return p.parse_args()
+
+
+def main(args):
+    config = load_config(args.config)
+    test_set = ImageDataset.load(f"{args.data_dir}/test/testset.pkl")
+    config["max_length"] = test_set.max_seq_len
+    config["vocab_size"] = test_set.tokenizer.vocab_size
+
+    if args.checkpoint and args.checkpoint.endswith((".pth", ".pt")):
+        from texocr_tpu.checkpoint import load_torch_checkpoint
+
+        params = {"params": load_torch_checkpoint(args.checkpoint)}
+        pos_len = params["params"]["decoder"]["pos_embedding"]["embedding"].shape[0]
+        config["max_length"] = int(pos_len)
+        model = OCRModel(ModelConfig.from_dict(config))
+    elif args.checkpoint:
+        from texocr_tpu.checkpoint.orbax_io import load_checkpoint
+
+        model = OCRModel(ModelConfig.from_dict(config))
+        params = {"params": load_checkpoint(args.checkpoint)["params"]}
+    else:
+        print("WARNING: no checkpoint given; evaluating a random init.")
+        model = OCRModel(ModelConfig.from_dict(config))
+        import jax.numpy as jnp
+
+        img = jnp.zeros((1, 32, 64, 1), jnp.float32)
+        lbl = jnp.full((1, 8), config["trg_pad_idx"], jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), img, lbl)
+
+    test_model(
+        test_set, model, params, config,
+        max_len=args.max_len, max_batches=args.max_batches,
+    )
+
+
+if __name__ == "__main__":
+    main(parse_args())

@@ -1,0 +1,36 @@
+"""Training CLI (reference train.py surface):
+``python -m texocr_tpu.training.cli -d data --config config/config.yml``."""
+
+from __future__ import annotations
+
+import argparse
+
+from texocr_tpu.config import load_config
+from texocr_tpu.data.dataset import load_datasets
+from texocr_tpu.training.loop import train_model
+
+
+def parse_args() -> argparse.Namespace:
+    parser = argparse.ArgumentParser(description="Train the TexOCR model.")
+    parser.add_argument(
+        "-d", "--data_dir", type=str, default="data",
+        help="Directory containing dataset pickle files.",
+    )
+    parser.add_argument(
+        "--config", type=str, default="config/config.yml",
+        help="Path to the configuration file.",
+    )
+    return parser.parse_args()
+
+
+def main(args: argparse.Namespace) -> None:
+    config = load_config(args.config)
+    print("Loading datasets...")
+    train_set, val_set, _ = load_datasets(args.data_dir)
+    train_set.augment = True  # augmentation on the train split only
+    print("Datasets loaded!")
+    train_model(train_set, val_set, config)
+
+
+if __name__ == "__main__":
+    main(parse_args())

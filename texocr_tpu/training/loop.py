@@ -1,0 +1,100 @@
+"""Training loop: epochs over the bucket-batched loader, jitted sharded step,
+checkpoint/val cadence per config (reference train.py:42-99 semantics, fixed:
+the reference's first validation call crashes on a signature mismatch,
+train.py:95 vs test.py:19)."""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from texocr_tpu.config import ModelConfig, TrainConfig, with_defaults
+from texocr_tpu.data.dataset import ImageDataset, create_dataloader, prefetch
+from texocr_tpu.models import OCRModel
+from texocr_tpu.parallel import create_mesh
+from texocr_tpu.training.optimizers import get_optimizer
+from texocr_tpu.training.train_step import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+    put_batch,
+)
+
+
+def train_model(
+    train_set: ImageDataset,
+    val_set: Optional[ImageDataset],
+    config: dict,
+    verbose: bool = True,
+):
+    """Returns (model, final TrainState). ``config`` is the reference-format
+    dict; max_length/vocab_size are injected from the dataset if absent
+    (reference train.py:33-34)."""
+    config = with_defaults(dict(config))
+    config.setdefault("max_length", train_set.max_seq_len)
+    config.setdefault("vocab_size", train_set.tokenizer.vocab_size)
+
+    tcfg = TrainConfig.from_dict(config)
+    model = OCRModel(ModelConfig.from_dict(config))
+    mesh = create_mesh(config.get("mesh"))
+    tx = get_optimizer(tcfg.optimizer, tcfg.optimizer_args)
+
+    # Sample batch (smallest bucket) for shape-driven init.
+    loader = create_dataloader(train_set, config)
+    sample_images, sample_labels = next(iter(loader))
+    state = create_train_state(
+        model,
+        tx,
+        jax.random.PRNGKey(tcfg.seed),
+        jnp.asarray(sample_images),
+        jnp.asarray(sample_labels),
+        mesh=mesh,
+    )
+    if verbose:
+        n_params = sum(x.size for x in jax.tree.leaves(state.params))
+        print(f"Devices: {mesh.devices.shape} {mesh.axis_names}")
+        print(f"Model has {n_params} parameters.")
+
+    train_step = make_train_step(model, tx, mask_pad=tcfg.mask_pad_loss)
+    eval_step = make_eval_step(model, mask_pad=tcfg.mask_pad_loss)
+
+    history = []
+    start = time.time()
+    for epoch in range(tcfg.n_epochs):
+        epoch_loss, n_batches = 0.0, 0
+        t0 = time.time()
+        for images, labels in prefetch(iter(create_dataloader(train_set, config))):
+            images, labels = put_batch(mesh, images, labels)
+            state, metrics = train_step(state, images, labels)
+            epoch_loss += float(metrics["loss"])
+            n_batches += 1
+        mean_loss = epoch_loss / max(n_batches, 1)
+        history.append(mean_loss)
+        if verbose:
+            print(
+                f"Epoch {epoch + 1}/{tcfg.n_epochs} - loss {mean_loss:.4f} "
+                f"({n_batches} steps, {time.time() - t0:.1f}s)"
+            )
+
+        if tcfg.save_checkpoint and (epoch + 1) % tcfg.save_freq == 0:
+            from texocr_tpu.checkpoint.orbax_io import save_checkpoint
+
+            save_checkpoint(tcfg.save_dir, epoch, state.params, state.opt_state)
+
+        if val_set is not None and (epoch + 1) % tcfg.val_freq == 0:
+            val_loss, n = 0.0, 0
+            for images, labels in create_dataloader(val_set, config):
+                images, labels = put_batch(mesh, images, labels)
+                val_loss += float(eval_step(state.params, images, labels))
+                n += 1
+            if verbose and n:
+                print(f"  val loss: {val_loss / n:.4f}")
+
+    if verbose:
+        print(f"Training took {time.time() - start:.2f} seconds.")
+    return model, state, history

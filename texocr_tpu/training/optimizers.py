@@ -1,0 +1,40 @@
+"""Optimizer registry — config-name driven, like the reference's reflection
+on torch.optim (reference utils.py:41-46), but over optax."""
+
+from __future__ import annotations
+
+import optax
+
+
+def get_optimizer(name: str, args: dict) -> optax.GradientTransformation:
+    """'Adam'/'AdamW'/'SGD' + torch-style kwargs -> optax transformation.
+
+    torch Adam's weight_decay is L2 added to the gradient pre-moment
+    (coupled); optax.add_decayed_weights before adam reproduces that.
+    """
+    args = dict(args)
+    lr = args.pop("lr", 1e-3)
+    weight_decay = args.pop("weight_decay", 0.0)
+    betas = args.pop("betas", (0.9, 0.999))
+    eps = args.pop("eps", 1e-8)
+    name = name.lower()
+
+    if name == "adam":
+        core = optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps)
+        chain = [core]
+        if weight_decay:
+            chain.insert(0, optax.add_decayed_weights(weight_decay))
+        chain.append(optax.scale(-lr))
+        return optax.chain(*chain)
+    if name == "adamw":
+        return optax.adamw(
+            lr, b1=betas[0], b2=betas[1], eps=eps, weight_decay=weight_decay
+        )
+    if name == "sgd":
+        momentum = args.pop("momentum", 0.0)
+        chain = []
+        if weight_decay:
+            chain.append(optax.add_decayed_weights(weight_decay))
+        chain.append(optax.sgd(lr, momentum=momentum or None))
+        return optax.chain(*chain)
+    raise ValueError(f"unknown optimizer: {name!r}")
