@@ -43,15 +43,25 @@ def main():
     dev = jax.devices()[0]
     log(f"benchmark device: {dev}")
 
-    model = OCRModel(_flagship_config(max_length=512, dtype="bfloat16"))
+    import dataclasses
+
+    model = OCRModel(
+        dataclasses.replace(
+            _flagship_config(max_length=512, dtype="bfloat16"),
+            use_flash_attention=True,
+        )
+    )
 
     # Init on CPU (shapes don't depend on the image size), transfer once.
+    # Init uses a non-flash twin (identical param tree — the kernel has no
+    # params) because the Pallas TPU kernel can't trace on the CPU backend.
+    init_model = OCRModel(_flagship_config(max_length=512, dtype="bfloat16"))
     cpu = jax.local_devices(backend="cpu")[0]
     t0 = time.time()
     with jax.default_device(cpu):
         init_imgs = jnp.zeros((1, 32, 64, 1), jnp.float32)
         init_lbls = jnp.full((1, 8), 999, jnp.int32)
-        params = model.init(jax.random.PRNGKey(0), init_imgs, init_lbls)
+        params = init_model.init(jax.random.PRNGKey(0), init_imgs, init_lbls)
     params = jax.device_put(params, dev)
     log(f"param init: {time.time()-t0:.1f}s")
 
@@ -72,7 +82,7 @@ def main():
     @jax.jit
     def decode(params, images):
         enc = model.apply(params, images, method=OCRModel.encode)
-        return greedy_decode(
+        tokens = greedy_decode(
             model,
             params,
             enc,
@@ -81,15 +91,19 @@ def main():
             pad_token=cfg.pad_token,
             max_len=DECODE_STEPS,
         )
+        # Scalar checksum: forces full device execution before the (tiny)
+        # host readback — block_until_ready alone is unreliable through the
+        # TPU tunnel (reports readiness before execution completes).
+        return jnp.sum(tokens)
 
     t0 = time.time()
-    jax.block_until_ready(decode(params, images))
+    float(decode(params, images))
     log(f"compile + first run: {time.time()-t0:.1f}s")
 
     times = []
     for i in range(3):
         t0 = time.time()
-        jax.block_until_ready(decode(params, batches[1 + i]))
+        float(decode(params, batches[1 + i]))
         times.append(time.time() - t0)
     best = min(times)
     ips = BATCH / best

@@ -1,0 +1,126 @@
+"""Decode loops: greedy/sampled/beam consistency on a tiny model."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from texocr_tpu.models import OCRModel
+from texocr_tpu.models.beam import beam_decode
+from texocr_tpu.models.generate import greedy_decode, sampled_decode
+
+from tests.tiny import tiny_model_config
+
+BOS, EOS, PAD = 48, 47, 49
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = OCRModel(tiny_model_config())
+    rng = np.random.default_rng(3)
+    images = jnp.asarray(rng.normal(size=(2, 32, 64, 1)).astype(np.float32))
+    labels = jnp.full((2, 8), PAD, jnp.int32)
+    params = model.init(jax.random.PRNGKey(1), images, labels)
+    enc = model.apply(params, images, method=OCRModel.encode)
+    return model, params, enc
+
+
+def _seq_logprob(model, params, enc, tokens):
+    """Teacher-forced log-prob of a generated suffix (BOS prepended)."""
+    full = jnp.concatenate(
+        [jnp.full((tokens.shape[0], 1), BOS, jnp.int32), tokens], axis=1
+    )
+    logits = model.apply(params, full[:, :-1], enc, method=OCRModel.decode_logits)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+    picked = jnp.take_along_axis(logp, full[:, 1:, None], axis=-1)[..., 0]
+    live = jnp.cumsum(
+        jnp.concatenate(
+            [jnp.ones((full.shape[0], 1), bool), full[:, 1:-1] == EOS], axis=1
+        ).astype(jnp.int32),
+        axis=1,
+    ) <= 1  # positions up to and including first EOS
+    return jnp.sum(jnp.where(live, picked, 0.0), axis=1)
+
+
+def test_greedy_matches_full_reforward(setup):
+    model, params, enc = setup
+    toks = greedy_decode(
+        model, params, enc, bos_token=BOS, eos_token=-1, pad_token=PAD, max_len=9
+    )
+    out = jnp.full((2, 1), BOS, jnp.int32)
+    for _ in range(9):
+        logits = model.apply(params, out, enc, method=OCRModel.decode_logits)
+        nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        out = jnp.concatenate([out, nxt[:, None]], axis=1)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(out[:, 1:]))
+
+
+def test_greedy_eos_stops_and_pads(setup):
+    model, params, enc = setup
+    free = greedy_decode(
+        model, params, enc, bos_token=BOS, eos_token=-1, pad_token=PAD, max_len=12
+    )
+    free = np.asarray(free)
+    # Pick the first token the model emits and use it as a fake EOS: the
+    # decode must stop immediately and pad the rest.
+    fake_eos = int(free[0, 0])
+    toks = np.asarray(
+        greedy_decode(
+            model, params, enc,
+            bos_token=BOS, eos_token=fake_eos, pad_token=PAD, max_len=12,
+        )
+    )
+    row = toks[0]
+    assert row[0] == fake_eos
+    assert (row[1:] == PAD).all()
+
+
+def test_sampled_decode_temp_zero_limit(setup):
+    """At very low temperature, sampling equals greedy (argmax of top-k)."""
+    model, params, enc = setup
+    greedy = np.asarray(
+        greedy_decode(
+            model, params, enc, bos_token=BOS, eos_token=EOS, pad_token=PAD,
+            max_len=8,
+        )
+    )
+    sampled = np.asarray(
+        sampled_decode(
+            model, params, enc, jax.random.PRNGKey(0),
+            bos_token=BOS, eos_token=EOS, pad_token=PAD, max_len=8, temp=1e-4,
+        )
+    )
+    np.testing.assert_array_equal(sampled, greedy)
+
+
+def test_beam_1_equals_greedy(setup):
+    model, params, enc = setup
+    greedy = np.asarray(
+        greedy_decode(
+            model, params, enc, bos_token=BOS, eos_token=EOS, pad_token=PAD,
+            max_len=8,
+        )
+    )
+    beam = np.asarray(
+        beam_decode(
+            model, params, enc, bos_token=BOS, eos_token=EOS, pad_token=PAD,
+            max_len=8, beam_size=1,
+        )
+    )
+    np.testing.assert_array_equal(beam, greedy)
+
+
+def test_beam_5_scores_are_consistent(setup):
+    """The score beam search reports for its chosen beam equals the
+    teacher-forced log-prob of the returned sequence computed by a full
+    re-forward — this catches KV-cache reorder bugs. (Beam > greedy is NOT
+    guaranteed in general — pruning can drop greedy's path — so that is not
+    asserted.)"""
+    model, params, enc = setup
+    beam, scores = beam_decode(
+        model, params, enc, bos_token=BOS, eos_token=EOS, pad_token=PAD,
+        max_len=8, beam_size=5, return_scores=True,
+    )
+    lp = np.asarray(_seq_logprob(model, params, enc, beam))
+    np.testing.assert_allclose(np.asarray(scores), lp, rtol=2e-4, atol=2e-4)

@@ -277,34 +277,39 @@ class AttentionStack(nn.Module):
     # ------------------------------------------------------------------
 
     def init_cache(self, batch: int, max_len: int) -> KVCache:
-        """Zeroed static-shape self-attention KV cache."""
-        shape = (self.num_layers, batch, self.heads, max_len, self.dim_head)
-        return {
-            "k": jnp.zeros(shape, dtype=self.dtype),
-            "v": jnp.zeros(shape, dtype=self.dtype),
-        }
+        """Zeroed static-shape self-attention KV cache: a per-layer tuple of
+        {'k','v'} arrays, each (B, H, T, dh). Per-layer leaves (rather than
+        one stacked (L, ...) array) let XLA alias the dynamic_update_slice in
+        the decode while-loop in place instead of copying the whole cache
+        every step."""
+        shape = (batch, self.heads, max_len, self.dim_head)
+        return tuple(
+            {
+                "k": jnp.zeros(shape, dtype=self.dtype),
+                "v": jnp.zeros(shape, dtype=self.dtype),
+            }
+            for _ in range(self.num_layers)
+        )
 
-    def precompute_cross_kv(self, enc: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def precompute_cross_kv(self, enc: jnp.ndarray):
         """Per-layer cross-attention K/V of the encoder output, computed once
-        per sequence: (L, B, H, Nk, dh) each."""
-        ks, vs = [], []
-        for layer in range(self.num_layers):
-            k, v = self.cross_attns[layer].project_kv(enc)
-            ks.append(k)
-            vs.append(v)
-        return jnp.stack(ks), jnp.stack(vs)
+        per sequence: tuple of ((B, H, Nk, dh), (B, H, Nk, dh))."""
+        return tuple(
+            self.cross_attns[layer].project_kv(enc)
+            for layer in range(self.num_layers)
+        )
 
     def step(
         self,
         x_t: jnp.ndarray,
         cache: KVCache,
         index: jnp.ndarray,
-        cross_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        cross_kv=None,
         enc_mask: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, KVCache]:
         """One decode step over the whole stack for (B, 1, D) input."""
         n_sub = self.num_layers * (3 if self.cross_attend else 2)
-        new_k, new_v = [], []
+        new_cache = []
         idx = 0
         x = x_t
         for layer in range(self.num_layers):
@@ -313,13 +318,13 @@ class AttentionStack(nn.Module):
                 h = self._norm(x)
                 if kind == "self":
                     out, ck, cv = block.step(
-                        h, cache["k"][layer], cache["v"][layer], index
+                        h, cache[layer]["k"], cache[layer]["v"], index
                     )
-                    new_k.append(ck)
-                    new_v.append(cv)
+                    new_cache.append({"k": ck, "v": cv})
                 elif kind == "cross":
+                    k_cross, v_cross = cross_kv[layer]
                     out = block.attend_cached_kv(
-                        h, cross_kv[0][layer], cross_kv[1][layer], key_mask=enc_mask
+                        h, k_cross, v_cross, key_mask=enc_mask
                     )
                 else:
                     out = block(h, deterministic=True)
@@ -327,4 +332,4 @@ class AttentionStack(nn.Module):
                 idx += 1
                 if idx != n_sub:
                     x = self._norm(x)
-        return x, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+        return x, tuple(new_cache)

@@ -37,6 +37,13 @@ from texocr_tpu.models.ocr_model import OCRModel
 from texocr_tpu.utils import topk_filter
 
 
+#: Steps per inner scan chunk. The inner lax.scan runs CHUNK decode steps
+#: with no done-checks (lets XLA pipeline the loop body); the outer
+#: lax.while_loop checks the per-row done flags between chunks, so a batch
+#: that finishes early stops within CHUNK steps of the last EOS.
+DECODE_CHUNK = 32
+
+
 def _decode_loop(
     model: OCRModel,
     variables,
@@ -52,27 +59,27 @@ def _decode_loop(
     return_logits: bool = False,
 ):
     batch = enc.shape[0]
+    chunk = min(DECODE_CHUNK, max_len)
+    # Buffers are rounded up to a whole number of chunks so the inner scan
+    # never needs a bounds guard; the result is sliced back to max_len.
+    padded_len = -(-max_len // chunk) * chunk
     cache = model.apply(
-        variables, batch, max_len + 1, method=OCRModel.decoder_init_cache
+        variables, batch, padded_len + 1, method=OCRModel.decoder_init_cache
     )
     cross_kv = model.apply(variables, enc, method=OCRModel.decoder_cross_kv)
 
-    tokens = jnp.full((batch, max_len), pad_token, dtype=jnp.int32)
+    tokens = jnp.full((batch, padded_len), pad_token, dtype=jnp.int32)
     done = jnp.zeros((batch,), dtype=jnp.bool_)
     cur = jnp.full((batch,), bos_token, dtype=jnp.int32)
     vocab = model.config.decoder.vocab_size
     logits_buf = (
-        jnp.zeros((batch, max_len, vocab), dtype=jnp.float32)
+        jnp.zeros((batch, padded_len, vocab), dtype=jnp.float32)
         if return_logits
         else jnp.zeros((0,), dtype=jnp.float32)
     )
 
-    def cond(state):
-        step, _, _, _, done, _, _ = state
-        return (step < max_len) & ~jnp.all(done)
-
-    def body(state):
-        step, cur, cache, tokens, done, extra, logits_buf = state
+    def step_body(carry, _):
+        step, cur, cache, tokens, done, extra, logits_buf = carry
         logits, cache = model.apply(
             variables,
             cur,
@@ -88,17 +95,26 @@ def _decode_loop(
                 logits_buf, logits[:, None, :], (0, step, 0)
             )
         nxt, extra = sample_fn(logits, extra)
+        # A finished row stops evolving: emit PAD and freeze the done flag.
+        # Past-EOS cache garbage is harmless — those rows' outputs are fixed.
         nxt = jnp.where(done, pad_token, nxt).astype(jnp.int32)
-        tokens = jax.lax.dynamic_update_slice(
-            tokens, nxt[:, None], (0, step)
-        )
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, step))
         done = done | (nxt == eos_token)
-        return step + 1, nxt, cache, tokens, done, extra, logits_buf
+        return (step + 1, nxt, cache, tokens, done, extra, logits_buf), None
+
+    def cond(state):
+        step, _, _, _, done, _, _ = state
+        return (step < max_len) & ~jnp.all(done)
+
+    def chunk_body(state):
+        state, _ = jax.lax.scan(step_body, state, None, length=chunk)
+        return state
 
     state = (0, cur, cache, tokens, done, init_carry_extra, logits_buf)
-    _, _, _, tokens, _, _, logits_buf = jax.lax.while_loop(cond, body, state)
+    state = jax.lax.while_loop(cond, chunk_body, state)
+    tokens, logits_buf = state[3][:, :max_len], state[6]
     if return_logits:
-        return tokens, logits_buf
+        return tokens, logits_buf[:, :max_len]
     return tokens
 
 

@@ -44,14 +44,14 @@ def attention_core(
     Returns (B, H, Nq, dh) in q's dtype.
     """
     if use_flash:
-        from texocr_tpu.ops.flash_attention import flash_attention_supported
+        from texocr_tpu.ops.flash_attention import (
+            flash_attention_diff,
+            flash_attention_supported,
+        )
 
         if flash_attention_supported(q, k, allowed=allowed):
-            from texocr_tpu.ops.flash_attention import flash_attention
-
-            return flash_attention(
-                q, k, v, scale=scale, allowed=allowed, causal=causal
-            )
+            # custom-vjp wrapper: kernel forward, XLA-attention backward
+            return flash_attention_diff(q, k, v, scale, causal)
 
     return xla_attention(q, k, v, scale=scale, allowed=allowed, causal=causal)
 
