@@ -1,0 +1,147 @@
+"""End-to-end integration: synthetic dataset -> short training -> loss falls,
+checkpoints write/restore, eval harness runs, serving wrapper round-trips."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from texocr_tpu.data import ImageDataset
+from texocr_tpu.tokenizer import DEFAULT_VOCAB_PATH, load_default_tokenizer
+
+from tests.tiny import TINY_CONFIG, synthetic_dataset_dir
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    tok = load_default_tokenizer()
+    root = synthetic_dataset_dir(tmp_path_factory.mktemp("data"), tok, per_size=4)
+    return ImageDataset(str(root), DEFAULT_VOCAB_PATH, dataset_size=100)
+
+
+def _train_config(tmp_path):
+    cfg = dict(TINY_CONFIG)
+    # Real tokenizer ids (vocab 1000, PAD/BOS/EOS 999/998/997).
+    cfg.update(
+        img_size=(32, 128),  # must cover the dataset's largest bucket
+        vocab_size=1000,
+        trg_pad_idx=999,
+        bos_token=998,
+        eos_token=997,
+        batch_size=4,
+        n_epochs=2,
+        optimizer="Adam",
+        optimizer_args={"lr": 1e-3, "weight_decay": 0.0},
+        save_checkpoint=True,
+        save_dir=str(tmp_path / "ckpts"),
+        save_freq=2,
+        val_freq=2,
+        drop_last=True,
+        keep_small=False,
+        batch_shuffle=True,
+        id_shuffle=True,
+        seed=42,
+        mesh={"data": 2, "model": 1},
+        seq_pad_multiple=8,
+        mask_pad_loss=True,
+    )
+    del cfg["max_length"]
+    return cfg
+
+
+def test_train_loop_end_to_end(dataset, tmp_path):
+    from texocr_tpu.training.loop import train_model
+
+    config = _train_config(tmp_path)
+    model, state, history = train_model(dataset, dataset, config, verbose=False)
+    assert len(history) == 2
+    assert np.isfinite(history).all()
+    assert history[-1] < history[0]  # memorizes the tiny set a bit
+
+    # Checkpoint written at epoch 2 (save_freq=2).
+    from texocr_tpu.checkpoint.orbax_io import latest_checkpoint, load_checkpoint
+
+    path = latest_checkpoint(config["save_dir"])
+    assert path is not None
+    restored = load_checkpoint(path)
+    assert restored["epoch"] == 1
+    # Restored params numerically equal the live ones.
+    live = jax.tree.leaves(state.params)
+    back = jax.tree.leaves(restored["params"])
+    assert len(live) == len(back)
+    for a, b in zip(live, back):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eval_harness_runs(dataset, tmp_path):
+    from texocr_tpu.config import ModelConfig
+    from texocr_tpu.evaluation.evaluate import test_model
+    from texocr_tpu.models import OCRModel
+
+    config = _train_config(tmp_path)
+    config["max_length"] = dataset.max_seq_len
+    model = OCRModel(ModelConfig.from_dict(config))
+    img = jnp.zeros((1, 32, 64, 1), jnp.float32)
+    lbl = jnp.full((1, 8), 999, jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), img, lbl)
+    out = test_model(
+        dataset, model, params, config, max_len=8, verbose=False, max_batches=1
+    )
+    assert 0.0 <= out["token_acc"] <= 1.0
+    assert out["batches"] == 1
+
+
+def test_serving_wrapper_round_trip(tmp_path):
+    from PIL import Image
+
+    from texocr_tpu.serving import TexOCR
+
+    cfg = _train_config(tmp_path)
+    cfg["tokenizer_path"] = DEFAULT_VOCAB_PATH
+    cfg["max_length"] = 64
+    engine = TexOCR(cfg)
+    img = Image.fromarray(np.full((30, 100), 255, np.uint8))
+    tokens, latex = engine(img, max_len=6)
+    assert isinstance(tokens, list) and isinstance(latex, str)
+    # Bucket canvas reuse: second call with a same-bucket image hits the
+    # compiled function cache.
+    img2 = Image.fromarray(np.full((28, 90), 255, np.uint8))
+    engine(img2, max_len=6)
+    assert len(engine._compiled) == 1
+
+
+def test_serving_batcher(tmp_path):
+    from PIL import Image
+
+    from texocr_tpu.serving import TexOCR
+    from texocr_tpu.serving.batcher import ServingBatcher
+
+    cfg = _train_config(tmp_path)
+    cfg["tokenizer_path"] = DEFAULT_VOCAB_PATH
+    cfg["max_length"] = 64
+    engine = TexOCR(cfg)
+    batcher = ServingBatcher(engine, max_batch=4, max_len=6)
+    imgs = [
+        Image.fromarray(np.full((30, 100), 255, np.uint8)) for _ in range(6)
+    ]
+    futures = [batcher.submit(im) for im in imgs]
+    results = [f.result(timeout=300) for f in futures]
+    batcher.shutdown()
+    assert all(isinstance(r[1], str) for r in results)
+
+
+def test_patch_embedding_encoder_variant():
+    from texocr_tpu.config import ModelConfig
+    from texocr_tpu.models import OCRModel
+
+    cfg = dict(TINY_CONFIG)
+    cfg["encoder"] = dict(cfg["encoder"], embed_layer="patch")
+    model = OCRModel(ModelConfig.from_dict(cfg))
+    img = jnp.zeros((2, 32, 64, 1), jnp.float32)
+    lbl = jnp.full((2, 8), 49, jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), img, lbl)
+    enc = model.apply(params, img, method=OCRModel.encode)
+    assert enc.shape == (2, 2 * 4 + 1, 32)  # (B, h*w + CLS, D)
+    assert "patch_embed" in params["params"]["encoder"]
+    assert "backbone" not in params["params"]["encoder"]

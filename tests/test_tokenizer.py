@@ -79,3 +79,17 @@ def test_save_load_round_trip(tok, tmp_path):
     reloaded = RegexBPETokenizer().load(str(path))
     assert reloaded.bp_merges == tok.bp_merges
     assert reloaded.special_tokens == tok.special_tokens
+
+
+def test_encode_batch_matches_encode(tok):
+    """The native C++ batched encoder is bit-exact with the Python loop,
+    including special-token fallback texts."""
+    texts = [c["text"] for c in _goldens("tokenizer_encode.json")]
+    assert tok.encode_batch(texts) == [tok.encode(t) for t in texts]
+
+
+def test_native_encoder_availability():
+    # The toolchain is present in this image; if this fails the build broke.
+    from texocr_tpu.tokenizer.native import native_available
+
+    assert native_available()

@@ -74,6 +74,11 @@ class EncoderConfig:
     resnet_depths: tuple = (2, 4, 6)
     resnet_channels: tuple = (256, 512, 1024)
     stem_channels: int = 64
+    # 'hybrid' = ResNet backbone + pointwise projection (the reference's only
+    # wired-up path, encoder.py:162-191); 'patch' = plain strided-conv ViT
+    # patchify (the reference defines it at encoder.py:11-28 but never uses
+    # it from the factory).
+    embed_layer: str = "hybrid"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -125,6 +130,7 @@ class ModelConfig:
             resnet_depths=tuple(enc_args.get("resnet_depths", (2, 4, 6))),
             resnet_channels=tuple(enc_args.get("resnet_channels", (256, 512, 1024))),
             stem_channels=enc_args.get("stem_channels", 64),
+            embed_layer=enc_args.get("embed_layer", "hybrid"),
         )
         decoder = DecoderConfig(
             vocab_size=config["vocab_size"],

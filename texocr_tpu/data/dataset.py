@@ -77,8 +77,10 @@ class ImageDataset:
             h, w = arr.shape
             self.sizes[(w, h)].append(i)
 
-        # Tokenize every label once; +2 for BOS/EOS (reference dataset.py:185-188).
-        self.token_ids = [self.tokenizer.encode(lb) for lb in self.labels]
+        # Tokenize every label ONCE, through the native batched encoder
+        # (+2 for BOS/EOS; reference dataset.py:185-188 — which re-encodes
+        # per item per epoch instead).
+        self.token_ids = self.tokenizer.encode_batch(self.labels)
         self.max_seq_len = max((len(t) for t in self.token_ids), default=0) + 2
         self.max_height = max((a.shape[0] for a in self.images), default=0)
         self.max_width = max((a.shape[1] for a in self.images), default=0)

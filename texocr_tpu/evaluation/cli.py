@@ -26,9 +26,16 @@ def parse_args():
 
 
 def main(args):
+    from texocr_tpu.utils import pad_to_multiple
+
     config = load_config(args.config)
     test_set = ImageDataset.load(f"{args.data_dir}/test/testset.pkl")
-    config["max_length"] = test_set.max_seq_len
+    # Positional table must cover both the collator's rounded label lengths
+    # and the decode budget.
+    config["max_length"] = max(
+        pad_to_multiple(test_set.max_seq_len, config.get("seq_pad_multiple", 1)),
+        args.max_len + 1,
+    )
     config["vocab_size"] = test_set.tokenizer.vocab_size
 
     if args.checkpoint and args.checkpoint.endswith((".pth", ".pt")):

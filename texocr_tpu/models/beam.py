@@ -47,6 +47,8 @@ def beam_decode(
     score / ((5 + len) / 6)**alpha (GNMT); 0 = raw log-prob sum.
     """
     batch = enc.shape[0]
+    # Positional-table clamp (see models/generate.py).
+    max_len = min(max_len, model.config.decoder.max_length)
     bb = batch * beam_size
 
     # Expand encoder state to (B*beam, ...): each beam attends the same image.

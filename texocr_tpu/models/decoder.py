@@ -82,6 +82,12 @@ class TransformerDecoder(nn.Module):
     ) -> jnp.ndarray:
         """Teacher-forced logits for (B, T) token ids -> (B, T, V)."""
         t = tokens.shape[1]
+        if t > self.config.max_length:
+            raise ValueError(
+                f"sequence length {t} exceeds the positional table "
+                f"(max_length={self.config.max_length}) — positions past the "
+                "table would read as NaN."
+            )
         x = self._embed(tokens, jnp.arange(t)[None, :])
         x = self.embed_dropout(x, deterministic=deterministic)
         x = self.attn_layers(

@@ -23,8 +23,42 @@ from flax import linen as nn
 
 from texocr_tpu.config import EncoderConfig
 from texocr_tpu.models.attention import AttentionStack
-from texocr_tpu.models.layers import Conv1x1, Dtype
+from texocr_tpu.models.layers import Conv1x1, Dtype, uniform_in
 from texocr_tpu.models.resnet import ResNetV2
+
+
+class PatchEmbedding(nn.Module):
+    """Plain strided-conv ViT patchify: (B, H, W, C) -> (B, h*w, D), with
+    kernel = stride = patch_size (reference encoder.py:11-28 — defined there
+    but unused by the factory; available here via encoder.embed_layer='patch').
+    Implemented as a reshape + single matmul, which is how a stride=kernel
+    conv maps onto the MXU."""
+
+    patch_size: int
+    embed_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, height, width, c = x.shape
+        p = self.patch_size
+        fan_in = c * p * p
+        bound = 1.0 / (fan_in ** 0.5)
+        kernel = self.param(
+            "kernel", uniform_in(bound), (fan_in, self.embed_dim), jnp.float32
+        )
+        bias = self.param("bias", uniform_in(bound), (self.embed_dim,), jnp.float32)
+        h, w = height // p, width // p
+        patches = (
+            x[:, : h * p, : w * p]
+            .reshape(b, h, p, w, p, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(b, h * w, fan_in)
+        )
+        return (
+            jnp.dot(patches.astype(self.dtype), kernel.astype(self.dtype))
+            + bias.astype(self.dtype)
+        )
 
 
 class VisionEncoder(nn.Module):
@@ -36,22 +70,32 @@ class VisionEncoder(nn.Module):
 
     def setup(self):
         cfg = self.config
-        self.backbone = ResNetV2(
-            depths=tuple(cfg.resnet_depths),
-            channels=tuple(cfg.resnet_channels),
-            stem_channels=cfg.stem_channels,
-            dtype=self.dtype,
-            name="backbone",
-        )
-        # Reduced patchify: with the /16 backbone the projection is pointwise
-        # (reduced patch size 1; reference encoder.py:166-168).
-        reduced = cfg.patch_size // (2 ** (len(cfg.resnet_depths) + 1))
-        if reduced != 1:
-            raise NotImplementedError(
-                "Only reduced patch size 1 (patch_size 16 with a 3-stage "
-                "backbone) is supported, matching the reference factory."
+        if cfg.embed_layer == "hybrid":
+            self.backbone = ResNetV2(
+                depths=tuple(cfg.resnet_depths),
+                channels=tuple(cfg.resnet_channels),
+                stem_channels=cfg.stem_channels,
+                dtype=self.dtype,
+                name="backbone",
             )
-        self.proj = Conv1x1(cfg.embed_dim, dtype=self.dtype, name="proj")
+            # Reduced patchify: with the /16 backbone the projection is
+            # pointwise (reduced patch size 1; reference encoder.py:166-168).
+            reduced = cfg.patch_size // (2 ** (len(cfg.resnet_depths) + 1))
+            if reduced != 1:
+                raise NotImplementedError(
+                    "Only reduced patch size 1 (patch_size 16 with a 3-stage "
+                    "backbone) is supported, matching the reference factory."
+                )
+            self.proj = Conv1x1(cfg.embed_dim, dtype=self.dtype, name="proj")
+        elif cfg.embed_layer == "patch":
+            self.patch_embed = PatchEmbedding(
+                patch_size=cfg.patch_size,
+                embed_dim=cfg.embed_dim,
+                dtype=self.dtype,
+                name="patch_embed",
+            )
+        else:
+            raise ValueError(f"unknown embed_layer: {cfg.embed_layer!r}")
 
         max_h, max_w = self.max_grid()
         self.cls_token = self.param(
@@ -94,10 +138,15 @@ class VisionEncoder(nn.Module):
     def __call__(self, images: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         cfg = self.config
         b, img_h, img_w, _ = images.shape
-        feats = self.backbone(images.astype(self.dtype))  # (B, h, w, 1024)
-        x = self.proj(feats)
-        _, h, w, d = x.shape
-        x = x.reshape(b, h * w, d)
+        if cfg.embed_layer == "hybrid":
+            feats = self.backbone(images.astype(self.dtype))  # (B, h, w, 1024)
+            x = self.proj(feats)
+            _, h, w, d = x.shape
+            x = x.reshape(b, h * w, d)
+        else:
+            h, w = img_h // cfg.patch_size, img_w // cfg.patch_size
+            x = self.patch_embed(images.astype(self.dtype))
+            d = x.shape[-1]
 
         cls = jnp.broadcast_to(
             self.cls_token.astype(self.dtype), (b, 1, d)

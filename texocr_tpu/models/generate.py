@@ -59,6 +59,10 @@ def _decode_loop(
     return_logits: bool = False,
 ):
     batch = enc.shape[0]
+    # The decode feeds absolute positions 0..max_len-1 into the positional
+    # table; clamp the budget to what the table covers (the reference instead
+    # slides a window over the prefix, decoder.py:99-100).
+    max_len = min(max_len, model.config.decoder.max_length)
     chunk = min(DECODE_CHUNK, max_len)
     # Buffers are rounded up to a whole number of chunks so the inner scan
     # never needs a bounds guard; the result is sliced back to max_len.

@@ -47,8 +47,8 @@ def create_mesh(
             raise ValueError(f"{n} devices not divisible by fixed axes {fixed}")
         sizes[wildcard[0]] = n // fixed
     total = int(np.prod(list(sizes.values())))
-    if total != n:
+    if total > n:
         raise ValueError(f"mesh {sizes} wants {total} devices, have {n}")
 
     shape = tuple(sizes[ax] for ax in AXIS_ORDER)
-    return Mesh(np.array(devices).reshape(shape), AXIS_ORDER)
+    return Mesh(np.array(devices[:total]).reshape(shape), AXIS_ORDER)

@@ -1,0 +1,125 @@
+"""Micro-batching serving loop.
+
+The reference serves one image per call (TeXOCRWrapper, ocr_model.py:94).
+On TPU, per-request decode wastes the chip: this batcher collects concurrent
+requests, groups them by bucket canvas (the preprocess pads every image onto
+a small set of canvas shapes), pads each group to a fixed batch size (powers
+of two, so each (canvas, batch) pair compiles once), runs the jitted
+encode+decode, and resolves per-request futures.
+
+Usage:
+    engine = TexOCR(config)
+    batcher = ServingBatcher(engine, max_batch=16)
+    fut = batcher.submit(pil_image)          # concurrent callers
+    tokens, latex = fut.result()
+    batcher.shutdown()
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Optional, Tuple
+
+import numpy as np
+
+from texocr_tpu.serving.wrapper import TexOCR
+
+
+def _next_pow2(n: int, cap: int) -> int:
+    p = 1
+    while p < n and p < cap:
+        p *= 2
+    return min(p, cap)
+
+
+class ServingBatcher:
+    def __init__(
+        self,
+        engine: TexOCR,
+        max_batch: int = 16,
+        max_wait_ms: float = 5.0,
+        max_len: int = 350,
+        mode: str = "greedy",
+    ):
+        self.engine = engine
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self.max_len = max_len
+        self.mode = mode
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, img) -> Future:
+        """Enqueue a PIL image; the future resolves to (tokens, latex)."""
+        fut: Future = Future()
+        canvas = self.engine.preprocess(img)  # (1, H, W, 1) on a bucket canvas
+        self._q.put((canvas, fut))
+        return fut
+
+    def __call__(self, img) -> Tuple[list, str]:
+        return self.submit(img).result()
+
+    def shutdown(self):
+        self._stop.set()
+        self._q.put(None)
+        self._worker.join(timeout=5)
+
+    # -- worker ----------------------------------------------------------------
+
+    def _drain(self):
+        """Block for one request, then greedily take up to max_batch more
+        within the wait window."""
+        first = self._q.get()
+        if first is None:
+            return None
+        items = [first]
+        deadline = self.max_wait
+        import time
+
+        t0 = time.time()
+        while len(items) < self.max_batch:
+            remaining = deadline - (time.time() - t0)
+            if remaining <= 0:
+                break
+            try:
+                item = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if item is None:
+                return items  # shutdown after this batch
+            items.append(item)
+        return items
+
+    def _run(self):
+        while not self._stop.is_set():
+            items = self._drain()
+            if items is None:
+                return
+            # Group by canvas shape: same-bucket requests batch together.
+            groups = {}
+            for canvas, fut in items:
+                groups.setdefault(canvas.shape[1:3], []).append((canvas, fut))
+            for shape, group in groups.items():
+                canvases = np.concatenate([c for c, _ in group], axis=0)
+                n = canvases.shape[0]
+                padded_n = _next_pow2(n, self.max_batch)
+                if padded_n > n:
+                    canvases = np.concatenate(
+                        [canvases, np.zeros_like(canvases[: padded_n - n])]
+                    )
+                try:
+                    tokens = np.asarray(
+                        self.engine.generate_batch(
+                            canvases, max_len=self.max_len, mode=self.mode
+                        )
+                    )
+                    for row, (_, fut) in zip(tokens[:n], group):
+                        fut.set_result(self.engine.postprocess(row))
+                except Exception as e:  # propagate to all waiters
+                    for _, fut in group:
+                        if not fut.done():
+                            fut.set_exception(e)

@@ -208,6 +208,72 @@ class RegexBPETokenizer(BPETokenizer):
             )
         return ids
 
+    def encode_batch(self, texts: List[str]) -> List[List[int]]:
+        """Encode many texts at once through the native C++ merge loop
+        (texocr_tpu/tokenizer/native) — ONE FFI call for all regex splits of
+        all texts, which is what makes it pay (per-string native calls lose
+        to FFI overhead). Bit-exact with ``encode``; falls back to the pure
+        Python path when the native library is unavailable or a text
+        contains special tokens."""
+        native = self._native_encoder()
+        if native is None:
+            return [self.encode(t) for t in texts]
+
+        special_texts = (
+            set()
+            if not self.special_tokens
+            else {t for t in texts if any(s in t for s in self.special_tokens)}
+        )
+        all_splits: List[bytes] = []
+        spans: List[Tuple[int, int]] = []  # split-range per text
+        for t in texts:
+            if t in special_texts:
+                spans.append((-1, -1))
+                continue
+            start = len(all_splits)
+            all_splits.extend(
+                s.encode("utf-8") for s in re.findall(self.re_pattern, t)
+            )
+            spans.append((start, len(all_splits)))
+
+        ids_stream, offsets = native.encode_concat(all_splits)
+        out: List[List[int]] = []
+        for t, (lo, hi) in zip(texts, spans):
+            if lo < 0:
+                out.append(self.encode(t))  # special-token texts: slow path
+            else:
+                out.append(ids_stream[offsets[lo] : offsets[hi]].tolist())
+        return out
+
+    # -- native fast path ----------------------------------------------------
+
+    _native_cache = None
+    _native_for_merges = None
+
+    def _native_encoder(self):
+        """C++ merge-loop encoder (texocr_tpu/tokenizer/native). Only used
+        when no merge id collides with a special-token id — the Python loop
+        skips pairs touching special ids (bit-exactness guard); with the
+        shipped vocab (merges 256..996, specials 997..999) there is no
+        collision. Returns None to fall back to pure Python."""
+        if self._native_for_merges is id(self.bp_merges):
+            return self._native_cache
+        self._native_for_merges = id(self.bp_merges)
+        self._native_cache = None
+        try:
+            from texocr_tpu.tokenizer.native import (
+                NativeBPEEncoder,
+                native_available,
+            )
+
+            if native_available() and not (
+                set(self.bp_merges.values()) & set(self.special_tokens.values())
+            ):
+                self._native_cache = NativeBPEEncoder(self.bp_merges)
+        except Exception:
+            self._native_cache = None
+        return self._native_cache
+
     # -- decode ------------------------------------------------------------------
 
     def decode_list(self, tokens: List[int]) -> List[str]:

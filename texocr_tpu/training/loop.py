@@ -31,12 +31,21 @@ def train_model(
     val_set: Optional[ImageDataset],
     config: dict,
     verbose: bool = True,
+    metrics_path: Optional[str] = None,
 ):
     """Returns (model, final TrainState). ``config`` is the reference-format
     dict; max_length/vocab_size are injected from the dataset if absent
     (reference train.py:33-34)."""
     config = with_defaults(dict(config))
-    config.setdefault("max_length", train_set.max_seq_len)
+    if "max_length" not in config:
+        # The collator rounds label lengths up to seq_pad_multiple; the
+        # positional table must cover the rounded length (past-the-table
+        # positions would hit jnp.take's NaN fill).
+        from texocr_tpu.utils import pad_to_multiple
+
+        config["max_length"] = pad_to_multiple(
+            train_set.max_seq_len, config.get("seq_pad_multiple", 1)
+        )
     config.setdefault("vocab_size", train_set.tokenizer.vocab_size)
 
     tcfg = TrainConfig.from_dict(config)
@@ -63,23 +72,33 @@ def train_model(
     train_step = make_train_step(model, tx, mask_pad=tcfg.mask_pad_loss)
     eval_step = make_eval_step(model, mask_pad=tcfg.mask_pad_loss)
 
+    from texocr_tpu.telemetry import MetricsLogger
+
+    logger = MetricsLogger(metrics_path, echo=verbose)
     history = []
     start = time.time()
     for epoch in range(tcfg.n_epochs):
-        epoch_loss, n_batches = 0.0, 0
+        epoch_loss, epoch_acc, n_batches, n_images = 0.0, 0.0, 0, 0
         t0 = time.time()
         for images, labels in prefetch(iter(create_dataloader(train_set, config))):
             images, labels = put_batch(mesh, images, labels)
             state, metrics = train_step(state, images, labels)
             epoch_loss += float(metrics["loss"])
+            epoch_acc += float(metrics["token_acc"])
             n_batches += 1
+            n_images += images.shape[0]
+        dt = time.time() - t0
         mean_loss = epoch_loss / max(n_batches, 1)
         history.append(mean_loss)
-        if verbose:
-            print(
-                f"Epoch {epoch + 1}/{tcfg.n_epochs} - loss {mean_loss:.4f} "
-                f"({n_batches} steps, {time.time() - t0:.1f}s)"
-            )
+        logger.log(
+            "train_epoch",
+            epoch=epoch + 1,
+            loss=mean_loss,
+            token_acc=epoch_acc / max(n_batches, 1),
+            steps=n_batches,
+            images_per_sec=n_images / max(dt, 1e-9),
+            seconds=dt,
+        )
 
         if tcfg.save_checkpoint and (epoch + 1) % tcfg.save_freq == 0:
             from texocr_tpu.checkpoint.orbax_io import save_checkpoint
@@ -92,9 +111,10 @@ def train_model(
                 images, labels = put_batch(mesh, images, labels)
                 val_loss += float(eval_step(state.params, images, labels))
                 n += 1
-            if verbose and n:
-                print(f"  val loss: {val_loss / n:.4f}")
+            if n:
+                logger.log("val", epoch=epoch + 1, loss=val_loss / n)
 
     if verbose:
         print(f"Training took {time.time() - start:.2f} seconds.")
+    logger.close()
     return model, state, history

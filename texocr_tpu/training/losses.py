@@ -29,3 +29,12 @@ def sequence_ce_loss(
         return jnp.mean(nll)
     mask = (labels != pad_token).astype(jnp.float32)
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def get_loss_fn(name: str):
+    """Config-name loss registry (the reference resolves config['loss_fn']
+    by reflection on torch.nn, utils.py:48-50; only CrossEntropyLoss is ever
+    used)."""
+    if name in ("CrossEntropyLoss", "cross_entropy"):
+        return sequence_ce_loss
+    raise ValueError(f"unknown loss_fn: {name!r}")

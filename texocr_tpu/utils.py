@@ -93,3 +93,39 @@ def pad_to_multiple(x: int, multiple: int) -> int:
 def exact_match(pred: List[int], target: List[int]) -> bool:
     """Token-level exact match between two id sequences."""
     return list(pred) == list(target)
+
+
+def count_parameters(params) -> int:
+    """Total parameter count of a pytree (reference utils.py:37-39)."""
+    import jax
+
+    return sum(int(x.size) for x in jax.tree.leaves(params))
+
+
+def alphabetize_config(config: dict, path: str = "config.yml") -> dict:
+    """Sort a config dict by key and rewrite it (reference utils.py:30-35)."""
+    import yaml
+
+    config = dict(sorted(config.items()))
+    with open(path, "w") as f:
+        yaml.dump(config, f)
+    return config
+
+
+def center_pad_image(img, height: int, width: int, fill: float = 0.0):
+    """Center-pad an (H, W, C) array to (height, width) — the reference's
+    ImagePadding transform (reference dataset.py:78-106; defined there but
+    never applied, since padding happens at render time)."""
+    import numpy as _np
+
+    pad_h = height - img.shape[0]
+    pad_w = width - img.shape[1]
+    return _np.pad(
+        img,
+        (
+            (pad_h // 2, pad_h - pad_h // 2),
+            (pad_w // 2, pad_w - pad_w // 2),
+        )
+        + ((0, 0),) * (img.ndim - 2),
+        constant_values=fill,
+    )

@@ -1,0 +1,95 @@
+"""Concurrent-serving latency benchmark (BASELINE.json config #5).
+
+Drives the micro-batching server with concurrent synthetic requests and
+reports p50/p99 per-request latency + sustained throughput. Run on the TPU:
+``python tools/bench_serving.py [--requests 128] [--concurrency 16]``.
+"""
+
+import argparse
+import json
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--requests", type=int, default=128)
+    p.add_argument("--concurrency", type=int, default=16)
+    p.add_argument("--max_len", type=int, default=128)
+    p.add_argument("--max_batch", type=int, default=16)
+    args = p.parse_args()
+
+    from PIL import Image
+
+    from texocr_tpu.serving import TexOCR
+    from texocr_tpu.serving.batcher import ServingBatcher
+    from texocr_tpu.tokenizer import DEFAULT_VOCAB_PATH
+
+    engine = TexOCR(
+        {
+            "tokenizer_path": DEFAULT_VOCAB_PATH,
+            "patch_size": 16,
+            "glu": True,
+            "bos_token": 998,
+            "eos_token": 997,
+            "trg_pad_idx": 999,
+            "max_length": 512,
+            "dtype": "bfloat16",
+            "use_flash_attention": True,
+            "encoder": {"n_channels": 1, "embed_dim": 256, "num_layers": 4,
+                        "heads": 8},
+            "decoder": {"embed_dim": 256, "num_layers": 4, "heads": 8,
+                        "cross_attend": True, "dropout": 0.1, "exp_factor": 4},
+        }
+    )
+    batcher = ServingBatcher(engine, max_batch=args.max_batch,
+                             max_len=args.max_len)
+
+    rng = np.random.default_rng(0)
+    sizes = [(320, 96), (448, 96), (640, 160)]  # (w, h) render-rule canvases
+
+    def make_img():
+        w, h = sizes[rng.integers(len(sizes))]
+        arr = np.full((h, w), 255, np.uint8)
+        arr[rng.integers(0, h, 600), rng.integers(0, w, 600)] = 0
+        return Image.fromarray(arr)
+
+    images = [make_img() for _ in range(args.requests)]
+
+    # Warm the compile cache (one request per canvas).
+    print("warming compile cache...", file=sys.stderr)
+    for wh in sizes:
+        img = Image.fromarray(np.full((wh[1], wh[0]), 255, np.uint8))
+        batcher(img)
+
+    latencies = []
+    t_start = time.time()
+
+    def request(img):
+        t0 = time.time()
+        batcher(img)
+        latencies.append(time.time() - t0)
+
+    with ThreadPoolExecutor(max_workers=args.concurrency) as pool:
+        list(pool.map(request, images))
+    wall = time.time() - t_start
+
+    lat = np.array(sorted(latencies))
+    result = {
+        "requests": args.requests,
+        "concurrency": args.concurrency,
+        "throughput_rps": round(args.requests / wall, 2),
+        "p50_ms": round(float(np.percentile(lat, 50)) * 1000, 1),
+        "p90_ms": round(float(np.percentile(lat, 90)) * 1000, 1),
+        "p99_ms": round(float(np.percentile(lat, 99)) * 1000, 1),
+        "max_len": args.max_len,
+    }
+    batcher.shutdown()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
