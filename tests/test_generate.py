@@ -124,3 +124,27 @@ def test_beam_5_scores_are_consistent(setup):
     )
     lp = np.asarray(_seq_logprob(model, params, enc, beam))
     np.testing.assert_allclose(np.asarray(scores), lp, rtol=2e-4, atol=2e-4)
+
+
+def test_attention_map_introspection(setup):
+    """return_attn / return_embeddings / return_hidden API (reference
+    Transformer.forward, decoder.py:41-67)."""
+    model, params, enc = setup
+    tokens = jnp.array([[BOS, 5, 6], [BOS, 7, 8]], jnp.int32)
+
+    logits, maps = model.apply(
+        params, tokens, enc,
+        method=lambda m, t, e: m.decoder(t, enc=e, return_attn=True),
+    )
+    # 1 layer x (self + cross) = 2 attention sub-layers.
+    assert len(maps) == 2
+    assert maps[0].shape == (2, 2, 3, 3)          # self: (B, H, T, T)
+    assert maps[1].shape[:3] == (2, 2, 3)          # cross: (B, H, T, N_enc)
+    rows = np.asarray(maps[0]).sum(-1)
+    np.testing.assert_allclose(rows, np.ones_like(rows), atol=1e-5)
+
+    emb = model.apply(
+        params, tokens, enc,
+        method=lambda m, t, e: m.decoder(t, enc=e, return_embeddings=True),
+    )
+    assert emb.shape == (2, 3, 32)

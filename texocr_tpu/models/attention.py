@@ -81,13 +81,16 @@ class MultiHeadAttention(nn.Module):
         mask: Optional[jnp.ndarray] = None,
         context_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
-    ) -> jnp.ndarray:
+        return_maps: bool = False,
+    ):
         """Full (uncached) attention over (B, N, D) inputs.
 
         ``mask``: (B, Nq) bool query-side padding mask; ``context_mask``:
         (B, Nk) key-side mask for cross attention. Mask composition follows
         reference attention.py:129-164: the input mask is the q x k outer
         product; for self-attention the key mask is the query mask.
+        ``return_maps``: also return the pre/post-softmax attention maps
+        (reference attention.py:175-180); forces the XLA path.
         """
         q = _split_heads(self.q_proj(x), self.heads)
         src = x if context is None else context
@@ -109,6 +112,16 @@ class MultiHeadAttention(nn.Module):
                     else jnp.ones(src.shape[:2], dtype=jnp.bool_)
                 )
             allowed = q_mask[:, None, :, None] & k_mask[:, None, None, :]
+
+        if return_maps:
+            from texocr_tpu.ops.attention_core import xla_attention
+
+            out, maps = xla_attention(
+                q, k, v,
+                scale=self.dim_head**-0.5, allowed=allowed, causal=self.causal,
+                return_probs=True,
+            )
+            return self._finish(out), maps
 
         out = attention_core(
             q,
@@ -272,17 +285,27 @@ class AttentionStack(nn.Module):
         mask: Optional[jnp.ndarray] = None,
         enc_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
-    ) -> jnp.ndarray:
+        return_hidden: bool = False,
+    ):
+        """Full forward. ``return_hidden`` also returns the intermediates the
+        reference collects (attention.py:235-267): hidden states entering
+        each self-attention sub-layer and the attention maps."""
         if self.cross_attend and enc is None:
             raise ValueError("Must provide enc if cross_attend is True.")
         n_sub = self.num_layers * (3 if self.cross_attend else 2)
+        hiddens, attn_maps = [], []
         idx = 0
         for layer in range(self.num_layers):
             for kind, block in self._sublayers(layer):
+                if kind == "self" and return_hidden:
+                    hiddens.append(x)
                 residual = x
                 h = self._norm(x)
                 if kind == "self":
-                    out = block(h, mask=mask, deterministic=deterministic)
+                    out = block(
+                        h, mask=mask, deterministic=deterministic,
+                        return_maps=return_hidden,
+                    )
                 elif kind == "cross":
                     out = block(
                         h,
@@ -290,13 +313,19 @@ class AttentionStack(nn.Module):
                         mask=mask,
                         context_mask=enc_mask,
                         deterministic=deterministic,
+                        return_maps=return_hidden,
                     )
                 else:
                     out = block(h, deterministic=deterministic)
+                if kind in ("self", "cross") and return_hidden:
+                    out, maps = out
+                    attn_maps.append(maps)
                 x = out + residual
                 idx += 1
                 if idx != n_sub:  # extra norm on all but the last sub-layer
                     x = self._norm(x)
+        if return_hidden:
+            return x, {"hiddens": hiddens, "attn_intermediates": attn_maps}
         return x
 
     # ------------------------------------------------------------------

@@ -79,8 +79,15 @@ class TransformerDecoder(nn.Module):
         mask: Optional[jnp.ndarray] = None,
         enc_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
-    ) -> jnp.ndarray:
-        """Teacher-forced logits for (B, T) token ids -> (B, T, V)."""
+        return_embeddings: bool = False,
+        return_attn: bool = False,
+    ):
+        """Teacher-forced logits for (B, T) token ids -> (B, T, V).
+
+        ``return_embeddings``: return the pre-logits hidden states instead
+        (reference decoder.py:60); ``return_attn``: also return the
+        post-softmax attention maps per attention sub-layer (decoder.py:63-65).
+        """
         t = tokens.shape[1]
         if t > self.config.max_length:
             raise ValueError(
@@ -91,10 +98,20 @@ class TransformerDecoder(nn.Module):
         x = self._embed(tokens, jnp.arange(t)[None, :])
         x = self.embed_dropout(x, deterministic=deterministic)
         x = self.attn_layers(
-            x, enc=enc, mask=mask, enc_mask=enc_mask, deterministic=deterministic
+            x, enc=enc, mask=mask, enc_mask=enc_mask,
+            deterministic=deterministic, return_hidden=return_attn,
         )
+        if return_attn:
+            x, intermediates = x
         x = self.norm(x.astype(jnp.float32)).astype(self.dtype)
-        return self.to_logits(x)
+        out = x if return_embeddings else self.to_logits(x)
+        if return_attn:
+            maps = [
+                m["post_softmax_attn"]
+                for m in intermediates["attn_intermediates"]
+            ]
+            return out, maps
+        return out
 
     # -- cached decode --------------------------------------------------------
 

@@ -64,18 +64,18 @@ def xla_attention(
     scale: float,
     allowed: Optional[jnp.ndarray] = None,
     causal: bool = False,
-) -> jnp.ndarray:
+    return_probs: bool = False,
+):
     out_dtype = q.dtype
-    logits = jnp.einsum(
+    raw = jnp.einsum(
         "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
     )
-    logits = logits * jnp.float32(scale)
+    raw = raw * jnp.float32(scale)
 
     mask = combined_mask(
         q.shape[-2], k.shape[-2], allowed=allowed, causal=causal
     )
-    if mask is not None:
-        logits = jnp.where(mask, logits, _MASK_VAL)
+    logits = raw if mask is None else jnp.where(mask, raw, _MASK_VAL)
 
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum(
@@ -83,8 +83,12 @@ def xla_attention(
         probs.astype(out_dtype),
         v,
         preferred_element_type=jnp.float32,
-    )
-    return out.astype(out_dtype)
+    ).astype(out_dtype)
+    if return_probs:
+        # The reference's attention intermediates (attention.py:175-180):
+        # pre-softmax = scaled UNMASKED energies, post-softmax = probs.
+        return out, {"pre_softmax_attn": raw, "post_softmax_attn": probs}
+    return out
 
 
 def combined_mask(

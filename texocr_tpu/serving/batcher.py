@@ -27,13 +27,6 @@ import numpy as np
 from texocr_tpu.serving.wrapper import TexOCR
 
 
-def _next_pow2(n: int, cap: int) -> int:
-    p = 1
-    while p < n and p < cap:
-        p *= 2
-    return min(p, cap)
-
-
 class ServingBatcher:
     def __init__(
         self,
@@ -42,16 +35,37 @@ class ServingBatcher:
         max_wait_ms: float = 5.0,
         max_len: int = 350,
         mode: str = "greedy",
+        batch_sizes: Optional[Tuple[int, ...]] = None,
     ):
         self.engine = engine
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
         self.max_len = max_len
         self.mode = mode
+        # Every padded batch size is a separate XLA compile per canvas; keep
+        # the set tiny (solo requests + full batches) so compiles are bounded
+        # and can all be warmed up front.
+        self.batch_sizes = tuple(sorted(batch_sizes or (1, max_batch)))
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+
+    def _padded_size(self, n: int) -> int:
+        for s in self.batch_sizes:
+            if n <= s:
+                return s
+        return self.batch_sizes[-1]
+
+    def warmup(self, canvas_shapes) -> None:
+        """Compile every (canvas, batch size) pair up front so no request
+        pays a compile. ``canvas_shapes``: iterable of (H, W)."""
+        for h, w in canvas_shapes:
+            for n in self.batch_sizes:
+                canvases = np.zeros((n, h, w, 1), np.float32)
+                self.engine.generate_batch(
+                    canvases, max_len=self.max_len, mode=self.mode
+                )
 
     def submit(self, img) -> Future:
         """Enqueue a PIL image; the future resolves to (tokens, latex)."""
@@ -106,7 +120,7 @@ class ServingBatcher:
             for shape, group in groups.items():
                 canvases = np.concatenate([c for c, _ in group], axis=0)
                 n = canvases.shape[0]
-                padded_n = _next_pow2(n, self.max_batch)
+                padded_n = self._padded_size(n)
                 if padded_n > n:
                     canvases = np.concatenate(
                         [canvases, np.zeros_like(canvases[: padded_n - n])]

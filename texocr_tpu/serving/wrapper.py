@@ -51,7 +51,15 @@ class TexOCR:
             if str(model_path).endswith((".pth", ".pt")):
                 from texocr_tpu.checkpoint import load_torch_checkpoint
 
-                loaded = load_torch_checkpoint(model_path)
+                loaded = load_torch_checkpoint(
+                    model_path,
+                    num_encoder_layers=config["encoder"]["num_layers"],
+                    num_decoder_layers=config["decoder"]["num_layers"],
+                    resnet_depths=tuple(
+                        config["encoder"].get("resnet_depths", (2, 4, 6))
+                    ),
+                    glu=config.get("glu", True),
+                )
             else:
                 from texocr_tpu.checkpoint.orbax_io import load_checkpoint
 

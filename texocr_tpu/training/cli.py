@@ -20,16 +20,26 @@ def parse_args() -> argparse.Namespace:
         "--config", type=str, default="config/config.yml",
         help="Path to the configuration file.",
     )
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="Resume from the latest checkpoint in save_dir.",
+    )
+    parser.add_argument(
+        "--metrics", type=str, default=None,
+        help="Write JSON-lines training metrics to this file.",
+    )
     return parser.parse_args()
 
 
 def main(args: argparse.Namespace) -> None:
     config = load_config(args.config)
+    if args.resume:
+        config["resume"] = True
     print("Loading datasets...")
     train_set, val_set, _ = load_datasets(args.data_dir)
     train_set.augment = True  # augmentation on the train split only
     print("Datasets loaded!")
-    train_model(train_set, val_set, config)
+    train_model(train_set, val_set, config, metrics_path=args.metrics)
 
 
 if __name__ == "__main__":

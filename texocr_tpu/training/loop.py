@@ -48,6 +48,10 @@ def train_model(
         )
     config.setdefault("vocab_size", train_set.tokenizer.vocab_size)
 
+    from texocr_tpu.training.losses import get_loss_fn
+
+    get_loss_fn(config.get("loss_fn", "CrossEntropyLoss"))  # validate name
+
     tcfg = TrainConfig.from_dict(config)
     model = OCRModel(ModelConfig.from_dict(config))
     mesh = create_mesh(config.get("mesh"))
@@ -64,6 +68,29 @@ def train_model(
         jnp.asarray(sample_labels),
         mesh=mesh,
     )
+
+    # Resume from the latest checkpoint (process-restart recovery; the
+    # reference can only restart from scratch or hand-load a .pth).
+    start_epoch = 0
+    if config.get("resume"):
+        from texocr_tpu.checkpoint.orbax_io import latest_checkpoint, load_checkpoint
+
+        path = latest_checkpoint(tcfg.save_dir)
+        if path:
+            restored = load_checkpoint(
+                path,
+                template={
+                    "params": state.params,
+                    "opt_state": state.opt_state,
+                    "epoch": 0,
+                },
+            )
+            state = state.replace(
+                params=restored["params"], opt_state=restored["opt_state"]
+            )
+            start_epoch = int(restored["epoch"]) + 1
+            if verbose:
+                print(f"Resumed from {path} (epoch {start_epoch}).")
     if verbose:
         n_params = sum(x.size for x in jax.tree.leaves(state.params))
         print(f"Devices: {mesh.devices.shape} {mesh.axis_names}")
@@ -77,7 +104,7 @@ def train_model(
     logger = MetricsLogger(metrics_path, echo=verbose)
     history = []
     start = time.time()
-    for epoch in range(tcfg.n_epochs):
+    for epoch in range(start_epoch, tcfg.n_epochs):
         epoch_loss, epoch_acc, n_batches, n_images = 0.0, 0.0, 0, 0
         t0 = time.time()
         for images, labels in prefetch(iter(create_dataloader(train_set, config))):

@@ -7,11 +7,14 @@ reports p50/p99 per-request latency + sustained throughput. Run on the TPU:
 
 import argparse
 import json
+import os
 import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
@@ -59,11 +62,11 @@ def main():
 
     images = [make_img() for _ in range(args.requests)]
 
-    # Warm the compile cache (one request per canvas).
+    # Warm the compile cache: every (canvas, batch-size) pair.
     print("warming compile cache...", file=sys.stderr)
-    for wh in sizes:
-        img = Image.fromarray(np.full((wh[1], wh[0]), 255, np.uint8))
-        batcher(img)
+    t0 = time.time()
+    batcher.warmup([(h, w) for (w, h) in sizes])
+    print(f"warmup took {time.time()-t0:.0f}s", file=sys.stderr)
 
     latencies = []
     t_start = time.time()
