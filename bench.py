@@ -26,6 +26,13 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
+# Persistent XLA compilation cache: reruns skip the ~100s compile.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from texocr_tpu.models import OCRModel  # noqa: E402
 from texocr_tpu.models.generate import greedy_decode  # noqa: E402
 from __graft_entry__ import _flagship_config  # noqa: E402

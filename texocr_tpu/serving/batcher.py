@@ -62,9 +62,13 @@ class ServingBatcher:
         pays a compile. ``canvas_shapes``: iterable of (H, W)."""
         for h, w in canvas_shapes:
             for n in self.batch_sizes:
-                canvases = np.zeros((n, h, w, 1), np.float32)
-                self.engine.generate_batch(
-                    canvases, max_len=self.max_len, mode=self.mode
+                canvases = np.full((n, h, w, 1), 255, np.uint8)
+                # np.asarray blocks until compile + execution finish (the
+                # call itself returns a lazy device array).
+                np.asarray(
+                    self.engine.generate_batch(
+                        canvases, max_len=self.max_len, mode=self.mode
+                    )
                 )
 
     def submit(self, img) -> Future:

@@ -28,7 +28,6 @@ import jax
 import jax.numpy as jnp
 
 from texocr_tpu.config import ModelConfig, with_defaults
-from texocr_tpu.data.transforms import to_model_array
 from texocr_tpu.models import OCRModel
 from texocr_tpu.models.generate import greedy_decode, sampled_decode
 from texocr_tpu.tokenizer import RegexBPETokenizer
@@ -93,10 +92,17 @@ class TexOCR:
         if key not in self._compiled:
             model, cfg = self.model, self.model.config
 
+            def to_model_input(images_u8):
+                # uint8 white-background canvases cross the host->device link
+                # (4x less traffic than float32); scale+invert fuses into the
+                # encoder's first conv on device.
+                return 1.0 - images_u8.astype(jnp.float32) / 255.0
+
             if mode == "greedy":
 
                 @jax.jit
-                def fn(params, images):
+                def fn(params, images_u8):
+                    images = to_model_input(images_u8)
                     enc = model.apply(params, images, method=OCRModel.encode)
                     return greedy_decode(
                         model, params, enc,
@@ -107,7 +113,8 @@ class TexOCR:
             else:
 
                 @jax.jit
-                def fn(params, images, rng, temp):
+                def fn(params, images_u8, rng, temp):
+                    images = to_model_input(images_u8)
                     enc = model.apply(params, images, method=OCRModel.encode)
                     return sampled_decode(
                         model, params, enc, rng,
@@ -121,26 +128,31 @@ class TexOCR:
     # -- preprocessing ---------------------------------------------------------
 
     def preprocess(self, img) -> np.ndarray:
-        """PIL image -> (1, H', W', 1) float32 on a bucket canvas."""
-        arr = to_model_array(img)  # (H, W, 1), ink=1
-        h, w = arr.shape[:2]
+        """PIL image -> (1, H', W', 1) uint8 white-background bucket canvas.
+
+        Stays uint8 on the host; grayscale+invert+scale runs fused on device
+        inside the jitted decode function.
+        """
+        from PIL import Image
+
+        if img.mode != "L":
+            img = img.convert("L")
+        w, h = img.size
         max_h, max_w = self.model.config.encoder.img_size
         ch = min(pad_to_multiple(max(h, 16), 16), max_h)
         cw = min(pad_to_multiple(max(w, 64), 64), max_w)
         if h > ch or w > cw:  # downscale oversized inputs to the max canvas
-            from PIL import Image
-
             scale = min(ch / h, cw / w)
-            new_hw = (max(1, int(w * scale)), max(1, int(h * scale)))
-            img2 = img.resize(new_hw, Image.BILINEAR)
-            arr = to_model_array(img2)
-            h, w = arr.shape[:2]
+            img = img.resize(
+                (max(1, int(w * scale)), max(1, int(h * scale))), Image.BILINEAR
+            )
+            w, h = img.size
             ch = pad_to_multiple(max(h, 16), 16)
             cw = pad_to_multiple(max(w, 64), 64)
-        canvas = np.zeros((ch, cw, 1), np.float32)
+        canvas = np.full((ch, cw), 255, np.uint8)
         top, left = (ch - h) // 2, (cw - w) // 2
-        canvas[top : top + h, left : left + w] = arr
-        return canvas[None]
+        canvas[top : top + h, left : left + w] = np.asarray(img)
+        return canvas[None, ..., None]
 
     # -- inference --------------------------------------------------------------
 

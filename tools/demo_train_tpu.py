@@ -1,0 +1,101 @@
+"""End-to-end demo: train the flagship model on the PIL-rendered demo dataset
+(on whatever device JAX provides — the TPU under axon), then evaluate token
+accuracy / exact match with the jitted greedy decoder.
+
+Usage:
+  python tools/make_demo_dataset.py --out /tmp/data_demo --n 1200
+  python tools/demo_train_tpu.py --data /tmp/data_demo [--epochs 8]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", type=str, default="/tmp/data_demo")
+    p.add_argument("--epochs", type=int, default=8)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--save_dir", type=str, default="/tmp/demo_ckpts")
+    p.add_argument("--eval_batches", type=int, default=4)
+    args = p.parse_args()
+
+    from texocr_tpu.config import ModelConfig
+    from texocr_tpu.data.dataset import ImageDataset
+    from texocr_tpu.evaluation.evaluate import test_model
+    from texocr_tpu.models import OCRModel
+    from texocr_tpu.tokenizer import DEFAULT_VOCAB_PATH
+    from texocr_tpu.training.loop import train_model
+    from texocr_tpu.utils import pad_to_multiple
+
+    train_set = ImageDataset.load(os.path.join(args.data, "train", "trainset.pkl"))
+    val_set = ImageDataset.load(os.path.join(args.data, "val", "valset.pkl"))
+    test_set = ImageDataset.load(os.path.join(args.data, "test", "testset.pkl"))
+
+    config = {
+        "tokenizer_path": DEFAULT_VOCAB_PATH,
+        "patch_size": 16,
+        "glu": True,
+        "bos_token": 998,
+        "eos_token": 997,
+        "trg_pad_idx": 999,
+        "batch_size": args.batch_size,
+        "n_epochs": args.epochs,
+        "optimizer": "Adam",
+        "optimizer_args": {"lr": 5e-4, "weight_decay": 0.0},
+        "seed": 42,
+        "save_checkpoint": True,
+        "save_dir": args.save_dir,
+        "save_freq": args.epochs,  # final checkpoint only
+        "val_freq": max(args.epochs // 2, 1),
+        "drop_last": True,
+        "keep_small": False,
+        "batch_shuffle": True,
+        "id_shuffle": True,
+        "dtype": "bfloat16",
+        "use_flash_attention": False,
+        "mesh": {"data": -1},
+        "mask_pad_loss": True,
+        # One compiled seq len: all labels pad to 128.
+        "seq_pad_multiple": 128,
+        "loss_fn": "CrossEntropyLoss",
+        "encoder": {"n_channels": 1, "embed_dim": 256, "num_layers": 4,
+                    "heads": 8},
+        "decoder": {"embed_dim": 256, "num_layers": 4, "heads": 8,
+                    "cross_attend": True, "dropout": 0.1, "exp_factor": 4},
+    }
+
+    model, state, history = train_model(train_set, val_set, config)
+
+    # Greedy-decode evaluation on the test split.
+    eval_config = dict(config)
+    eval_config["max_length"] = pad_to_multiple(
+        max(test_set.max_seq_len, train_set.max_seq_len), 128
+    )
+    eval_model = OCRModel(ModelConfig.from_dict(eval_config))
+    metrics = test_model(
+        test_set,
+        eval_model,
+        {"params": state.params},
+        eval_config,
+        max_len=120,
+        verbose=True,
+        max_batches=args.eval_batches,
+    )
+    print(json.dumps({"history": history, **metrics}))
+
+
+if __name__ == "__main__":
+    main()

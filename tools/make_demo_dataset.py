@@ -1,0 +1,137 @@
+"""Build a self-contained demo dataset without external LaTeX binaries.
+
+The real data factory shells out to latex/dvipng/ImageMagick (not present in
+this image). This demo factory renders equation strings with PIL's built-in
+bitmap font instead — same artifact layout (data/{split}/{labels.txt, ids.txt,
+images/} + pickles), same canvas rule (h mult 16, w mult 64), so the whole
+training/eval/serving stack runs end to end on it. The OCR task is genuine:
+map rendered glyphs back to the BPE token sequence.
+
+Usage: python tools/make_demo_dataset.py [--out data_demo] [--n 2000]
+"""
+
+import argparse
+import os
+import random
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+SYMBOLS = list("abcdefgxyznmpq") + ["0", "1", "2", "3", "4", "7", "9"]
+GREEK = ["\\alpha", "\\beta", "\\gamma", "\\lambda", "\\mu", "\\pi",
+         "\\sigma", "\\theta", "\\phi", "\\omega"]
+OPS = ["+", "-", "=", "\\cdot", "\\times", "<", ">"]
+FUNCS = ["\\sin", "\\cos", "\\log", "\\exp", "\\tan"]
+
+
+def random_atom(rng):
+    r = rng.random()
+    if r < 0.5:
+        return rng.choice(SYMBOLS)
+    if r < 0.75:
+        return rng.choice(GREEK)
+    return f"{rng.choice(FUNCS)} {rng.choice(SYMBOLS)}"
+
+
+def random_term(rng, depth=0):
+    r = rng.random()
+    a = random_atom(rng)
+    if r < 0.25 and depth < 2:
+        return f"\\frac {{ {random_term(rng, depth + 1)} }} {{ {random_term(rng, depth + 1)} }}"
+    if r < 0.45:
+        return f"{a} ^ {{ {rng.choice(SYMBOLS)} }}"
+    if r < 0.6:
+        return f"{a} _ {{ {rng.choice(SYMBOLS)} }}"
+    if r < 0.7 and depth < 2:
+        return f"\\sqrt {{ {random_term(rng, depth + 1)} }}"
+    if r < 0.78 and depth < 1:
+        return (f"\\int _ {{ {rng.choice(SYMBOLS)} }} ^ "
+                f"{{ {rng.choice(SYMBOLS)} }} {random_term(rng, depth + 1)}")
+    return a
+
+
+def random_equation(rng):
+    n_terms = rng.integers(2, 5)
+    parts = [random_term(rng)]
+    for _ in range(n_terms - 1):
+        parts.append(rng.choice(OPS))
+        parts.append(random_term(rng))
+    return " ".join(parts)
+
+
+def render(eq: str, rng):
+    """Render the equation string with PIL's default font onto a white canvas
+    padded to the (16, 64)-multiple rule. Sub/superscripts and fraction bars
+    are drawn positionally so the glyph layout carries structure."""
+    from PIL import Image, ImageDraw, ImageFont
+
+    font = ImageFont.load_default()
+    # Strip the braces/backslashes for display but keep them in the label:
+    # the model must recover the full LaTeX token sequence from the glyphs.
+    display = eq.replace("\\", "").replace("{", "(").replace("}", ")")
+    probe = Image.new("L", (8, 8), 255)
+    bbox = ImageDraw.Draw(probe).textbbox((0, 0), display, font=font)
+    w, h = bbox[2] - bbox[0] + 12, bbox[3] - bbox[1] + 12
+    w, h = min(max(w, 32), 1008), min(max(h, 16), 160)
+    img = Image.new("L", (w, h), 255)
+    ImageDraw.Draw(img).text((6, 4), display, font=font, fill=0)
+
+    # Coarser buckets than the real factory (width mult 192, fixed height 32)
+    # keep the number of distinct compiled shapes tiny for the demo.
+    new_h = 32
+    new_w = min(-(-w // 192) * 192, 960)
+    if h > new_h or w > new_w:
+        scale = min(new_h / h, new_w / w)
+        img = img.resize((max(1, int(w * scale)), max(1, int(h * scale))),
+                         Image.BILINEAR)
+        w, h = img.size
+    canvas = Image.new("L", (new_w, new_h), 255)
+    canvas.paste(img, ((new_w - w) // 2, (new_h - h) // 2))
+    return canvas
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", type=str, default="data_demo")
+    p.add_argument("--n", type=int, default=2000)
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args()
+
+    rng = np.random.default_rng(args.seed)
+    eqs = [random_equation(rng) for _ in range(args.n)]
+    splits = {
+        "train": eqs[: int(args.n * 0.8)],
+        "test": eqs[int(args.n * 0.8) : int(args.n * 0.95)],
+        "val": eqs[int(args.n * 0.95) :],
+    }
+    for split, labels in splits.items():
+        root = os.path.join(args.out, split)
+        os.makedirs(os.path.join(root, "images"), exist_ok=True)
+        ids = []
+        for i, eq in enumerate(labels):
+            name = f"eq_{i:05d}.png"
+            render(eq, rng).save(os.path.join(root, "images", name))
+            ids.append(name)
+        with open(os.path.join(root, "labels.txt"), "w") as f:
+            f.write("\n".join(labels) + "\n")
+        with open(os.path.join(root, "ids.txt"), "w") as f:
+            f.write("\n".join(ids) + "\n")
+        print(f"{split}: {len(labels)} rendered")
+
+    # Pickles via the standard dataset builder.
+    from texocr_tpu.data.dataset import ImageDataset
+    from texocr_tpu.tokenizer import DEFAULT_VOCAB_PATH
+
+    for split in splits:
+        ds = ImageDataset(
+            os.path.join(args.out, split), DEFAULT_VOCAB_PATH, dataset_size=args.n
+        )
+        ds.save(os.path.join(args.out, split, f"{split}set.pkl"))
+        print(f"{split}: pickled ({len(ds)} items, max_seq_len {ds.max_seq_len}, "
+              f"{len(ds.sizes)} shape buckets)")
+
+
+if __name__ == "__main__":
+    main()
