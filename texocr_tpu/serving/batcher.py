@@ -126,9 +126,10 @@ class ServingBatcher:
                 n = canvases.shape[0]
                 padded_n = self._padded_size(n)
                 if padded_n > n:
-                    canvases = np.concatenate(
-                        [canvases, np.zeros_like(canvases[: padded_n - n])]
+                    filler = np.zeros(
+                        (padded_n - n,) + canvases.shape[1:], canvases.dtype
                     )
+                    canvases = np.concatenate([canvases, filler])
                 try:
                     tokens = np.asarray(
                         self.engine.generate_batch(
