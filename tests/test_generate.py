@@ -148,3 +148,24 @@ def test_attention_map_introspection(setup):
         method=lambda m, t, e: m.decoder(t, enc=e, return_embeddings=True),
     )
     assert emb.shape == (2, 3, 32)
+
+
+def test_int8_kv_quant_decode_close(setup):
+    """kv_quant='int8' decode matches the unquantized decode's logits within
+    the int8 rounding budget (and typically the same tokens)."""
+    import dataclasses
+
+    model, params, enc = setup
+    cfg8 = dataclasses.replace(tiny_model_config(), kv_quant="int8")
+    model8 = OCRModel(cfg8)
+    toks, logits = greedy_decode(
+        model, params, enc, bos_token=BOS, eos_token=-1, pad_token=PAD,
+        max_len=6, return_logits=True,
+    )
+    toks8, logits8 = greedy_decode(
+        model8, params, enc, bos_token=BOS, eos_token=-1, pad_token=PAD,
+        max_len=6, return_logits=True,
+    )
+    err = np.abs(np.asarray(logits8) - np.asarray(logits))
+    scale = np.abs(np.asarray(logits)).max()
+    assert err.max() / scale < 0.05, (err.max(), scale)

@@ -30,6 +30,7 @@ _TPU_DEFAULTS: Dict[str, Any] = {
     "mesh": {"data": -1},  # -1: use all available devices on the data axis
     "mask_pad_loss": True,
     "seq_pad_multiple": 32,
+    "kv_quant": "none",
 }
 
 
@@ -103,6 +104,9 @@ class ModelConfig:
     pad_token: int
     dtype: str = "bfloat16"
     use_flash_attention: bool = False
+    # 'int8' quantizes the precomputed cross-attention K/V for the decode
+    # loop (halves its dominant HBM traffic; exact up to int8 rounding).
+    kv_quant: str = "none"
 
     @staticmethod
     def from_dict(config: dict) -> "ModelConfig":
@@ -151,6 +155,7 @@ class ModelConfig:
             pad_token=config["trg_pad_idx"],
             dtype=config["dtype"],
             use_flash_attention=config["use_flash_attention"],
+            kv_quant=config["kv_quant"],
         )
 
 

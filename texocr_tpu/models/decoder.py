@@ -118,10 +118,8 @@ class TransformerDecoder(nn.Module):
     def init_cache(self, batch: int, max_len: int) -> KVCache:
         return self.attn_layers.init_cache(batch, max_len)
 
-    def precompute_cross_kv(
-        self, enc: jnp.ndarray
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        return self.attn_layers.precompute_cross_kv(enc)
+    def precompute_cross_kv(self, enc: jnp.ndarray, quant: str = "none"):
+        return self.attn_layers.precompute_cross_kv(enc, quant=quant)
 
     def step(
         self,

@@ -81,7 +81,7 @@ class OCRModel(nn.Module):
         return self.decoder.init_cache(batch, max_len)
 
     def decoder_cross_kv(self, enc: jnp.ndarray):
-        return self.decoder.precompute_cross_kv(enc)
+        return self.decoder.precompute_cross_kv(enc, quant=self.config.kv_quant)
 
     def decoder_step(self, token_t, index, cache, cross_kv, enc_mask=None):
         return self.decoder.step(

@@ -30,6 +30,7 @@ def main():
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--save_dir", type=str, default="/tmp/demo_ckpts")
     p.add_argument("--eval_batches", type=int, default=4)
+    p.add_argument("--resume", action="store_true")
     args = p.parse_args()
 
     from texocr_tpu.config import ModelConfig
@@ -58,7 +59,7 @@ def main():
         "seed": 42,
         "save_checkpoint": True,
         "save_dir": args.save_dir,
-        "save_freq": args.epochs,  # final checkpoint only
+        "save_freq": max(args.epochs // 2, 1),
         "val_freq": max(args.epochs // 2, 1),
         "drop_last": True,
         "keep_small": False,
@@ -71,6 +72,7 @@ def main():
         # One compiled seq len: all labels pad to 128.
         "seq_pad_multiple": 128,
         "loss_fn": "CrossEntropyLoss",
+        "resume": args.resume,
         "encoder": {"n_channels": 1, "embed_dim": 256, "num_layers": 4,
                     "heads": 8},
         "decoder": {"embed_dim": 256, "num_layers": 4, "heads": 8,
@@ -81,6 +83,7 @@ def main():
 
     # Greedy-decode evaluation on the test split.
     eval_config = dict(config)
+    eval_config["vocab_size"] = test_set.tokenizer.vocab_size
     eval_config["max_length"] = pad_to_multiple(
         max(test_set.max_seq_len, train_set.max_seq_len), 128
     )
