@@ -78,3 +78,20 @@ def test_model(
         print(f"Test accuracy: {out['token_acc']:.4f}  "
               f"exact match: {out['exact_match']:.4f}")
     return out
+
+
+def single_prediction(test_set, model, params, config, index: int = 0):
+    """Teacher-forced argmax prediction for one sample (the reference's
+    single_prediction helper, test.py:72-89) — returns (pred_ids, gold_ids)."""
+    import jax.numpy as jnp
+
+    image, token_ids = test_set[index]
+    pad, bos, eos = (
+        model.config.pad_token, model.config.bos_token, model.config.eos_token
+    )
+    labels = np.asarray([[bos] + token_ids + [eos]], dtype=np.int32)
+    logits, shifted = model.apply(
+        params, jnp.asarray(image[None]), jnp.asarray(labels)
+    )
+    pred = np.asarray(jnp.argmax(logits, -1))[0]
+    return pred.tolist(), np.asarray(shifted)[0].tolist()

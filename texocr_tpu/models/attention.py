@@ -29,7 +29,9 @@ from flax import linen as nn
 from texocr_tpu.models.layers import MLP, Dtype, TorchDense
 from texocr_tpu.ops.attention_core import attention_core
 
-KVCache = Dict[str, jnp.ndarray]
+#: Decode-time self-attention cache: per-layer tuple of {"k","v"} arrays in
+#: the transposed (B, H, dh, T) layout (see AttentionStack.init_cache).
+KVCache = Tuple[Dict[str, jnp.ndarray], ...]
 
 
 def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:

@@ -19,7 +19,6 @@ TPU-first serving details:
 
 from __future__ import annotations
 
-import math
 from typing import Dict, Optional, Tuple
 
 import numpy as np

@@ -52,8 +52,8 @@ def random_term(rng, depth=0):
     return a
 
 
-def random_equation(rng):
-    n_terms = rng.integers(2, 5)
+def random_equation(rng, max_terms=5):
+    n_terms = rng.integers(2, max(3, max_terms))
     parts = [random_term(rng)]
     for _ in range(n_terms - 1):
         parts.append(rng.choice(OPS))
@@ -97,10 +97,17 @@ def main():
     p.add_argument("--out", type=str, default="data_demo")
     p.add_argument("--n", type=int, default=2000)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--simple", action="store_true",
+                   help="short flat equations (easier image grounding demo)")
     args = p.parse_args()
 
     rng = np.random.default_rng(args.seed)
-    eqs = [random_equation(rng) for _ in range(args.n)]
+    global random_term
+    if args.simple:  # flat atoms only: every token must be read off the image
+        orig_term = random_term
+        random_term = lambda rng, depth=0: random_atom(rng)
+    eqs = [random_equation(rng, max_terms=3 if args.simple else 5)
+           for _ in range(args.n)]
     splits = {
         "train": eqs[: int(args.n * 0.8)],
         "test": eqs[int(args.n * 0.8) : int(args.n * 0.95)],
