@@ -176,6 +176,7 @@ class MultiHeadAttention(nn.Module):
         cache_k: jnp.ndarray,
         cache_v: jnp.ndarray,
         index: jnp.ndarray,
+        fused_qkv: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Single cached self-attention decode step.
 
@@ -183,9 +184,20 @@ class MultiHeadAttention(nn.Module):
         (B, H, dh, T_max) (transposed layout); ``index``: scalar int32 current
         position. Returns (out (B, 1, D), new_cache_k, new_cache_v).
         Causality is enforced by masking keys at positions > index.
+
+        ``fused_qkv``: optional (D, 3*inner) concatenation of the q/k/v
+        kernels, precomputed OUTSIDE the decode loop — one matmul instead of
+        three per step (the step is op-latency bound at (B, 1, D) sizes).
         """
-        q = _split_heads(self.q_proj(x_t), self.heads)  # (B, H, 1, dh)
-        k_t, v_t = self.project_kv_transposed(x_t)  # (B, H, dh, 1)
+        if fused_qkv is not None:
+            qkv = jnp.dot(x_t.astype(self.dtype), fused_qkv.astype(self.dtype))
+            q_r, k_r, v_r = jnp.split(qkv, 3, axis=-1)
+            q = _split_heads(q_r, self.heads)
+            k_t = _split_heads(k_r, self.heads).transpose(0, 1, 3, 2)
+            v_t = _split_heads(v_r, self.heads).transpose(0, 1, 3, 2)
+        else:
+            q = _split_heads(self.q_proj(x_t), self.heads)  # (B, H, 1, dh)
+            k_t, v_t = self.project_kv_transposed(x_t)  # (B, H, dh, 1)
         cache_k = jax.lax.dynamic_update_slice(cache_k, k_t, (0, 0, 0, index))
         cache_v = jax.lax.dynamic_update_slice(cache_v, v_t, (0, 0, 0, index))
 
@@ -406,8 +418,12 @@ class AttentionStack(nn.Module):
         index: jnp.ndarray,
         cross_kv=None,
         enc_mask: Optional[jnp.ndarray] = None,
+        fused_qkv=None,
     ) -> Tuple[jnp.ndarray, KVCache]:
-        """One decode step over the whole stack for (B, 1, D) input."""
+        """One decode step over the whole stack for (B, 1, D) input.
+
+        ``fused_qkv``: optional per-layer tuple of concatenated self-attn
+        q/k/v kernels (built once outside the loop; see generate.py)."""
         n_sub = self.num_layers * (3 if self.cross_attend else 2)
         new_cache = []
         idx = 0
@@ -418,7 +434,8 @@ class AttentionStack(nn.Module):
                 h = self._norm(x)
                 if kind == "self":
                     out, ck, cv = block.step(
-                        h, cache[layer]["k"], cache[layer]["v"], index
+                        h, cache[layer]["k"], cache[layer]["v"], index,
+                        fused_qkv=None if fused_qkv is None else fused_qkv[layer],
                     )
                     new_cache.append({"k": ck, "v": cv})
                 elif kind == "cross":

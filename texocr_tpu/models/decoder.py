@@ -128,6 +128,7 @@ class TransformerDecoder(nn.Module):
         cache: KVCache,
         cross_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         enc_mask: Optional[jnp.ndarray] = None,
+        fused_qkv=None,
     ) -> Tuple[jnp.ndarray, KVCache]:
         """Next-token logits for the token at absolute position ``index``.
 
@@ -135,7 +136,8 @@ class TransformerDecoder(nn.Module):
         """
         x = self._embed(token_t[:, None], index[None, None])
         x, cache = self.attn_layers.step(
-            x, cache, index, cross_kv=cross_kv, enc_mask=enc_mask
+            x, cache, index, cross_kv=cross_kv, enc_mask=enc_mask,
+            fused_qkv=fused_qkv,
         )
         x = self.norm(x.astype(jnp.float32)).astype(self.dtype)
         return self.to_logits(x)[:, 0, :], cache

@@ -37,6 +37,7 @@ from texocr_tpu.models.ocr_model import OCRModel
 from texocr_tpu.utils import topk_filter
 
 
+
 #: Steps per inner scan chunk. The inner lax.scan runs CHUNK decode steps
 #: with no done-checks (lets XLA pipeline the loop body); the outer
 #: lax.while_loop checks the per-row done flags between chunks, so a batch

@@ -83,9 +83,11 @@ class OCRModel(nn.Module):
     def decoder_cross_kv(self, enc: jnp.ndarray):
         return self.decoder.precompute_cross_kv(enc, quant=self.config.kv_quant)
 
-    def decoder_step(self, token_t, index, cache, cross_kv, enc_mask=None):
+    def decoder_step(self, token_t, index, cache, cross_kv, enc_mask=None,
+                     fused_qkv=None):
         return self.decoder.step(
-            token_t, index, cache, cross_kv=cross_kv, enc_mask=enc_mask
+            token_t, index, cache, cross_kv=cross_kv, enc_mask=enc_mask,
+            fused_qkv=fused_qkv,
         )
 
 
