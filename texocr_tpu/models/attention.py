@@ -134,11 +134,9 @@ class MultiHeadAttention(nn.Module):
             causal=self.causal,
             use_flash=self.use_flash,
         )
-        if self.dropout > 0.0 and not deterministic:
-            # Reference applies dropout to the post-softmax attention map; the
-            # default config uses dropout=0 here (SURVEY.md §2.1), so the
-            # flash path may ignore it.
-            pass
+        # Note: the reference defines attention-map dropout but its factories
+        # always construct it with dropout=0 (SURVEY.md §2.1), so none is
+        # applied here either.
         return self._finish(out)
 
     def project_kv_transposed(
