@@ -55,7 +55,7 @@ def main():
         "batch_size": args.batch_size,
         "n_epochs": args.epochs,
         "optimizer": "Adam",
-        "optimizer_args": {"lr": 5e-4, "weight_decay": 0.0},
+        "optimizer_args": {"lr": 3e-4, "weight_decay": 0.0},
         "seed": 42,
         "save_checkpoint": True,
         "save_dir": args.save_dir,
