@@ -5,9 +5,8 @@ checkpoints/checkpoint_e{epoch}.pth gated by save_checkpoint/save_freq)."""
 from __future__ import annotations
 
 import os
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 

@@ -28,7 +28,7 @@ from typing import Dict, Iterable, Iterator, List, Optional, Tuple
 
 import numpy as np
 
-from texocr_tpu.data.transforms import img_transform, to_model_array
+from texocr_tpu.data.transforms import img_transform
 from texocr_tpu.tokenizer import RegexBPETokenizer
 from texocr_tpu.utils import pad_to_multiple
 

@@ -12,7 +12,7 @@ token suffix per row, PAD-filled after EOS, shape (B, max_len).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,7 @@ All functions are pure and jittable; ``max_len`` and shapes are static.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

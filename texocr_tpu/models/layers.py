@@ -14,7 +14,7 @@ them (reference attention.py:27-28, decoder.py:38-39, encoder.py:106-107).
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

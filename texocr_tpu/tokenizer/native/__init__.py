@@ -10,7 +10,7 @@ import ctypes
 import os
 import subprocess
 import threading
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 

@@ -10,7 +10,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from texocr_tpu.config import ModelConfig, TrainConfig, with_defaults
 from texocr_tpu.data.dataset import ImageDataset, create_dataloader, prefetch
@@ -18,7 +17,6 @@ from texocr_tpu.models import OCRModel
 from texocr_tpu.parallel import create_mesh
 from texocr_tpu.training.optimizers import get_optimizer
 from texocr_tpu.training.train_step import (
-    TrainState,
     create_train_state,
     make_eval_step,
     make_train_step,

@@ -10,7 +10,7 @@ psum over ICI. State is donated, so the update is in-place in HBM.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +20,6 @@ from flax import struct
 from texocr_tpu.models.ocr_model import OCRModel
 from texocr_tpu.parallel.sharding import batch_sharding, shard_pytree
 from texocr_tpu.training.losses import sequence_ce_loss
-from texocr_tpu.training.optimizers import get_optimizer
 
 
 @struct.dataclass
