@@ -126,7 +126,7 @@ class TransformerDecoder(nn.Module):
         token_t: jnp.ndarray,
         index: jnp.ndarray,
         cache: KVCache,
-        cross_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        cross_kv=None,
         enc_mask: Optional[jnp.ndarray] = None,
         fused_qkv=None,
     ) -> Tuple[jnp.ndarray, KVCache]:

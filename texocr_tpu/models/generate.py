@@ -6,8 +6,9 @@ decoder.py:97-116) — with a ``lax.while_loop`` that:
 
 - encodes once, precomputes per-layer cross-attention K/V of the encoder
   output once,
-- appends one self-attention K/V per step into a static (L, B, H, T, dh)
-  cache,
+- appends one self-attention K/V per step into static per-layer
+  (B, H, dh, T) caches (in-place dynamic_update_slice; the sequence dim sits
+  on the TPU lane axis),
 - keeps per-row done flags and stops as soon as every row has emitted EOS
   (the reference's stopping rule, decoder.py:115: "every row contains EOS"),
 - writes PAD into rows that are already done (the reference keeps sampling
