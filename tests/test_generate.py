@@ -169,3 +169,33 @@ def test_int8_kv_quant_decode_close(setup):
     err = np.abs(np.asarray(logits8) - np.asarray(logits))
     scale = np.abs(np.asarray(logits)).max()
     assert err.max() / scale < 0.05, (err.max(), scale)
+
+
+def test_sampled_decode_respects_topk_filter(setup):
+    """Every sampled token must come from the top-k(99-of-1000-rule) filter
+    set of that step's logits (reference utils.py:85-91 semantics). With the
+    tiny vocab (50), the fp quirk gives k = int((1-0.9)*50) = 4 (not 5) —
+    the same arithmetic that yields 99-of-1000 for the real vocab."""
+    from texocr_tpu.utils import topk_filter_size
+
+    model, params, enc = setup
+    k = topk_filter_size(50)
+    assert k == 4
+    toks, logits = None, None
+    toks8, logits8 = greedy_decode(  # reuse logits buffer machinery
+        model, params, enc, bos_token=BOS, eos_token=-1, pad_token=PAD,
+        max_len=6, return_logits=True,
+    )
+    # Re-run the sampler many times; every emitted token must be within the
+    # top-5 of the greedy path's logits at step 0 (same first-step logits).
+    step0 = np.asarray(logits8)[:, 0, :]
+    topk = np.argsort(step0, axis=-1)[:, -k:]
+    for seed in range(8):
+        s = np.asarray(
+            sampled_decode(
+                model, params, enc, jax.random.PRNGKey(seed),
+                bos_token=BOS, eos_token=-1, pad_token=PAD, max_len=1, temp=0.7,
+            )
+        )
+        for row in range(s.shape[0]):
+            assert s[row, 0] in topk[row], (seed, row, s[row, 0], topk[row])
