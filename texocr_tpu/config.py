@@ -7,7 +7,9 @@ validates it into a typed view. Runtime-injected keys (``max_length``,
 
 Additional TPU-only keys (all optional, defaulted):
   - ``dtype``: compute dtype for the model ("bfloat16" | "float32").
-  - ``use_flash_attention``: route attention through Pallas kernels.
+  - ``use_flash_attention``: route attention through Pallas kernels
+    (true | false | "auto" = true on TPU backends only). Training under the
+    flash path uses a recompute backward (ops/flash_attention.py:192-200).
   - ``mesh``: dict of mesh axis name -> size, e.g. {data: 8, model: 1}.
   - ``mask_pad_loss``: mask PAD positions out of the training loss. The
     reference computes an UNMASKED cross-entropy (reference decoder.py:140,
@@ -26,12 +28,24 @@ import yaml
 
 _TPU_DEFAULTS: Dict[str, Any] = {
     "dtype": "bfloat16",
-    "use_flash_attention": False,
+    # "auto": Pallas flash attention on TPU, XLA einsum path elsewhere. The
+    # benchmarked configuration (bench.py) is therefore what a shipped config
+    # runs by default on hardware. Note: training under flash attention uses
+    # a recompute (flash-forward-again) backward — see ops/flash_attention.py.
+    "use_flash_attention": "auto",
     "mesh": {"data": -1},  # -1: use all available devices on the data axis
     "mask_pad_loss": True,
     "seq_pad_multiple": 32,
     "kv_quant": "none",
 }
+
+
+def _resolve_flash(value) -> bool:
+    if value == "auto" or value is None:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    return bool(value)
 
 
 def load_config(config_path: str) -> dict:
@@ -154,7 +168,7 @@ class ModelConfig:
             eos_token=config["eos_token"],
             pad_token=config["trg_pad_idx"],
             dtype=config["dtype"],
-            use_flash_attention=config["use_flash_attention"],
+            use_flash_attention=_resolve_flash(config["use_flash_attention"]),
             kv_quant=config["kv_quant"],
         )
 

@@ -251,10 +251,14 @@ class BatchCollator:
 
 
 def create_dataloader(
-    dataset: ImageDataset, config: dict
+    dataset: ImageDataset, config: dict, seed_offset: int = 0
 ) -> Iterable[Tuple[np.ndarray, np.ndarray]]:
-    """Reference-format config dict -> iterable of (images, labels) numpy
-    batches (reference dataset.py:339-362). Iterate once per epoch."""
+    """Reference-format config dict -> re-iterable of (images, labels) numpy
+    batches (reference dataset.py:339-362). Build ONCE and iterate once per
+    epoch: the sampler/collator seeds increment across iterations, so batch
+    composition varies per epoch (the reference persists one DataLoader the
+    same way). ``seed_offset`` advances the seed schedule, e.g. when resuming
+    at a later epoch."""
     pad, bos, eos = (
         dataset.tokenizer.special_tokens[PAD_CHAR],
         dataset.tokenizer.special_tokens[BOS_CHAR],
@@ -265,7 +269,7 @@ def create_dataloader(
         bos,
         eos,
         shuffle=config.get("id_shuffle", False),
-        seed=config.get("seed", 42),
+        seed=config.get("seed", 42) + seed_offset,
         seq_pad_multiple=config.get("seq_pad_multiple", 1),
     )
     sampler = BucketBatchSampler(
@@ -274,16 +278,20 @@ def create_dataloader(
         drop_last=config.get("drop_last", True),
         shuffle=config.get("batch_shuffle", False),
         keep_small=config.get("keep_small", False),
-        seed=config.get("seed", 42),
+        seed=config.get("seed", 42) + seed_offset,
     )
 
     class _Loader:
+        def __init__(self):
+            self.sampler = sampler
+            self.collate = collate
+
         def __iter__(self):
-            for batch_ids in sampler:
-                yield collate([dataset[i] for i in batch_ids])
+            for batch_ids in self.sampler:
+                yield self.collate([dataset[i] for i in batch_ids])
 
         def __len__(self):
-            return len(sampler)
+            return len(self.sampler)
 
     return _Loader()
 

@@ -41,7 +41,19 @@ def main(args):
     if args.checkpoint and args.checkpoint.endswith((".pth", ".pt")):
         from texocr_tpu.checkpoint import load_torch_checkpoint
 
-        params = {"params": load_torch_checkpoint(args.checkpoint)}
+        # Pass the architecture through from the config (same kwargs as
+        # serving/wrapper.py) so non-default layer counts/depths convert.
+        params = {
+            "params": load_torch_checkpoint(
+                args.checkpoint,
+                num_encoder_layers=config["encoder"]["num_layers"],
+                num_decoder_layers=config["decoder"]["num_layers"],
+                resnet_depths=tuple(
+                    config["encoder"].get("resnet_depths", (2, 4, 6))
+                ),
+                glu=config.get("glu", True),
+            )
+        }
         pos_len = params["params"]["decoder"]["pos_embedding"]["embedding"].shape[0]
         config["max_length"] = int(pos_len)
         model = OCRModel(ModelConfig.from_dict(config))

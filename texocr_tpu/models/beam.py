@@ -145,7 +145,10 @@ def beam_decode(
     )
     _, _, _, tokens, done, scores, lengths, _ = jax.lax.while_loop(cond, body, state)
 
-    # Rank: length-normalized score; unfinished beams keep raw scores.
+    # Rank: GNMT length-normalized score. Every beam is normalized —
+    # finished beams by their EOS position, unfinished beams by their
+    # current (full-budget) length, so long unfinished beams are not
+    # unfairly favored over finished ones.
     if length_penalty > 0.0:
         norm = ((5.0 + lengths.astype(jnp.float32)) / 6.0) ** length_penalty
         ranked = scores / jnp.maximum(norm, 1e-6)

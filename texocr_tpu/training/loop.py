@@ -68,23 +68,31 @@ def train_model(
     )
 
     # Resume from the latest checkpoint (process-restart recovery; the
-    # reference can only restart from scratch or hand-load a .pth).
+    # reference can only restart from scratch or hand-load a .pth). The step
+    # counter is restored too, so the fold_in(dropout_rng, step) mask sequence
+    # continues instead of replaying from step 0.
     start_epoch = 0
     if config.get("resume"):
         from texocr_tpu.checkpoint.orbax_io import latest_checkpoint, load_checkpoint
 
         path = latest_checkpoint(tcfg.save_dir)
         if path:
-            restored = load_checkpoint(
-                path,
-                template={
-                    "params": state.params,
-                    "opt_state": state.opt_state,
-                    "epoch": 0,
-                },
-            )
+            template = {
+                "params": state.params,
+                "opt_state": state.opt_state,
+                "epoch": 0,
+                "step": 0,
+            }
+            try:
+                restored = load_checkpoint(path, template=template)
+            except Exception:
+                # Older checkpoints predate the step counter.
+                del template["step"]
+                restored = load_checkpoint(path, template=template)
             state = state.replace(
-                params=restored["params"], opt_state=restored["opt_state"]
+                params=restored["params"],
+                opt_state=restored["opt_state"],
+                step=jnp.asarray(int(restored.get("step") or 0), jnp.int32),
             )
             start_epoch = int(restored["epoch"]) + 1
             if verbose:
@@ -102,24 +110,39 @@ def train_model(
     logger = MetricsLogger(metrics_path, echo=verbose)
     history = []
     start = time.time()
+    # ONE loader for the whole run: its sampler/collator seeds increment per
+    # epoch so batch composition varies (recreating it per epoch would replay
+    # identical batches every epoch). seed_offset keeps the schedule aligned
+    # after a resume.
+    train_loader = create_dataloader(train_set, config, seed_offset=start_epoch)
+    val_loader = (
+        create_dataloader(val_set, config) if val_set is not None else None
+    )
     for epoch in range(start_epoch, tcfg.n_epochs):
-        epoch_loss, epoch_acc, n_batches, n_images = 0.0, 0.0, 0, 0
+        # Metrics accumulate as device scalars; the only host sync per epoch
+        # is the float() conversion after the last step, so the hot loop stays
+        # fully async-dispatched (no per-step blocking).
+        epoch_loss = jnp.zeros((), jnp.float32)
+        epoch_acc = jnp.zeros((), jnp.float32)
+        n_batches, n_images = 0, 0
         t0 = time.time()
-        for images, labels in prefetch(iter(create_dataloader(train_set, config))):
+        for images, labels in prefetch(iter(train_loader)):
             images, labels = put_batch(mesh, images, labels)
             state, metrics = train_step(state, images, labels)
-            epoch_loss += float(metrics["loss"])
-            epoch_acc += float(metrics["token_acc"])
+            epoch_loss = epoch_loss + metrics["loss"]
+            epoch_acc = epoch_acc + metrics["token_acc"]
             n_batches += 1
             n_images += images.shape[0]
+        # float() blocks until every dispatched step has executed; timing
+        # after it keeps images_per_sec honest under async dispatch.
+        mean_loss = float(epoch_loss) / max(n_batches, 1)
         dt = time.time() - t0
-        mean_loss = epoch_loss / max(n_batches, 1)
         history.append(mean_loss)
         logger.log(
             "train_epoch",
             epoch=epoch + 1,
             loss=mean_loss,
-            token_acc=epoch_acc / max(n_batches, 1),
+            token_acc=float(epoch_acc) / max(n_batches, 1),
             steps=n_batches,
             images_per_sec=n_images / max(dt, 1e-9),
             seconds=dt,
@@ -128,16 +151,20 @@ def train_model(
         if tcfg.save_checkpoint and (epoch + 1) % tcfg.save_freq == 0:
             from texocr_tpu.checkpoint.orbax_io import save_checkpoint
 
-            save_checkpoint(tcfg.save_dir, epoch, state.params, state.opt_state)
+            save_checkpoint(
+                tcfg.save_dir, epoch, state.params, state.opt_state,
+                extra={"step": int(state.step)},
+            )
 
         if val_set is not None and (epoch + 1) % tcfg.val_freq == 0:
-            val_loss, n = 0.0, 0
-            for images, labels in create_dataloader(val_set, config):
+            val_loss = jnp.zeros((), jnp.float32)
+            n = 0
+            for images, labels in val_loader:
                 images, labels = put_batch(mesh, images, labels)
-                val_loss += float(eval_step(state.params, images, labels))
+                val_loss = val_loss + eval_step(state.params, images, labels)
                 n += 1
             if n:
-                logger.log("val", epoch=epoch + 1, loss=val_loss / n)
+                logger.log("val", epoch=epoch + 1, loss=float(val_loss) / n)
 
     if verbose:
         print(f"Training took {time.time() - start:.2f} seconds.")

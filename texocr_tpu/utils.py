@@ -43,11 +43,24 @@ def topk_filter_size(vocab_size: int, threshold: float = 0.9) -> int:
 def topk_filter(logits: jnp.ndarray, threshold: float = 0.9) -> jnp.ndarray:
     """Keep the top-k logits, setting the rest to -inf (reference utils.py:85-91).
 
-    ``logits``: (..., V). Static k derived from the vocab size.
+    ``logits``: (..., V). Static k derived from the vocab size. Exactly k
+    logits survive, including on ties (``lax.top_k`` keeps the first k like
+    ``torch.topk``); a threshold implying k == 0 raises rather than silently
+    keeping everything.
     """
+    import jax
+
     k = topk_filter_size(logits.shape[-1], threshold)
-    kth_val = jnp.sort(logits, axis=-1)[..., -k][..., None]
-    return jnp.where(logits >= kth_val, logits, -jnp.inf)
+    if k <= 0:
+        raise ValueError(
+            f"top-k filter keeps 0 logits (vocab={logits.shape[-1]}, "
+            f"threshold={threshold}); the reference degenerates to all -inf "
+            "here — refusing instead."
+        )
+    vals, idx = jax.lax.top_k(logits, k)
+    return jnp.put_along_axis(
+        jnp.full_like(logits, -jnp.inf), idx, vals, axis=-1, inplace=False
+    )
 
 
 def max_negative_val(dtype) -> float:
