@@ -111,6 +111,40 @@ def test_serving_wrapper_round_trip(tmp_path):
     assert len(engine._compiled) == 1
 
 
+def test_serving_wrapper_beam_mode(tmp_path):
+    """mode='beam' is first-class through the wrapper (BASELINE config #4
+    decode mode) and compiles separately per beam width."""
+    from PIL import Image
+
+    from texocr_tpu.serving import TexOCR
+
+    cfg = _train_config(tmp_path)
+    cfg["tokenizer_path"] = DEFAULT_VOCAB_PATH
+    cfg["max_length"] = 64
+    engine = TexOCR(cfg)
+    img = Image.fromarray(np.full((30, 100), 255, np.uint8))
+    tokens, latex = engine(img, max_len=6, mode="beam", beam_size=3)
+    assert isinstance(tokens, list) and isinstance(latex, str)
+
+
+def test_eval_harness_beam_mode(dataset, tmp_path):
+    from texocr_tpu.config import ModelConfig
+    from texocr_tpu.evaluation.evaluate import test_model
+    from texocr_tpu.models import OCRModel
+
+    config = _train_config(tmp_path)
+    config["max_length"] = dataset.max_seq_len
+    model = OCRModel(ModelConfig.from_dict(config))
+    img = jnp.zeros((1, 32, 64, 1), jnp.float32)
+    lbl = jnp.full((1, 8), 999, jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), img, lbl)
+    out = test_model(
+        dataset, model, params, config, max_len=8, verbose=False,
+        max_batches=1, decode_mode="beam", beam_size=3,
+    )
+    assert 0.0 <= out["token_acc"] <= 1.0
+
+
 def test_serving_batcher(tmp_path):
     from PIL import Image
 

@@ -22,6 +22,10 @@ def parse_args():
                    help=".pth (reference) or orbax checkpoint dir")
     p.add_argument("--max_len", type=int, default=276)
     p.add_argument("--max_batches", type=int, default=None)
+    p.add_argument("--decode", type=str, default="greedy",
+                   choices=("greedy", "beam"),
+                   help="decode mode (beam = BASELINE config #4)")
+    p.add_argument("--beam_size", type=int, default=5)
     return p.parse_args()
 
 
@@ -74,6 +78,7 @@ def main(args):
     test_model(
         test_set, model, params, config,
         max_len=args.max_len, max_batches=args.max_batches,
+        decode_mode=args.decode, beam_size=args.beam_size,
     )
 
 

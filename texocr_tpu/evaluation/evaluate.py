@@ -26,11 +26,17 @@ def test_model(
     max_len: int = 276,
     verbose: bool = True,
     max_batches: Optional[int] = None,
+    decode_mode: str = "greedy",
+    beam_size: int = 5,
 ) -> Dict[str, float]:
-    """Greedy-decode the test split, report mean batch token-accuracy and
+    """Decode the test split, report mean batch token-accuracy and
     exact-match. ``max_len`` defaults to the reference harness's decode budget
-    (reference test.py:35)."""
+    (reference test.py:35). ``decode_mode``: 'greedy' (argmax, the BASELINE
+    configs' default) or 'beam' (length-unnormalized beam search of width
+    ``beam_size``; BASELINE config #4)."""
     cfg = model.config
+    if decode_mode not in ("greedy", "beam"):
+        raise ValueError(f"unknown decode_mode: {decode_mode!r}")
 
     decode_cache = {}
 
@@ -41,11 +47,17 @@ def test_model(
             @jax.jit
             def fn(params, images):
                 enc = model.apply(params, images, method=OCRModel.encode)
-                return greedy_decode(
-                    model, params, enc,
+                common = dict(
                     bos_token=cfg.bos_token, eos_token=cfg.eos_token,
                     pad_token=cfg.pad_token, max_len=max_len,
                 )
+                if decode_mode == "beam":
+                    from texocr_tpu.models.beam import beam_decode
+
+                    return beam_decode(
+                        model, params, enc, beam_size=beam_size, **common
+                    )
+                return greedy_decode(model, params, enc, **common)
 
             decode_cache[key] = fn
         return decode_cache[key](params, images)

@@ -206,6 +206,94 @@ class MultiHeadAttention(nn.Module):
         )
         return self._finish(out), cache_k, cache_v
 
+    def step_beam(
+        self,
+        x_t: jnp.ndarray,
+        cache_k: jnp.ndarray,
+        cache_v: jnp.ndarray,
+        index: jnp.ndarray,
+        beam_sel: jnp.ndarray,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Cached self-attention step for beam search WITHOUT cache reordering.
+
+        Cache rows never move; instead ``beam_sel`` (B, beam, beam, T) float
+        with [b, i, j, t] = 1 iff beam slot i's position-t K/V lives in cache
+        row j (the ancestry one-hot) selects the right rows inside the
+        attention. Scores are computed against ALL beam rows of the same image
+        — beam x more MXU work on tiny (1, dh) x (dh, T) matmuls, but the K/V
+        HBM reads are unchanged and the old per-step full-cache gather
+        (a read+write of the whole cache) disappears entirely.
+
+        ``x_t``: (B*beam, 1, D); ``cache_k``/``cache_v``: (B*beam, H, dh, T).
+        """
+        q = _split_heads(self.q_proj(x_t), self.heads)  # (Bb, H, 1, dh)
+        k_t, v_t = self.project_kv_transposed(x_t)  # (Bb, H, dh, 1)
+        cache_k = jax.lax.dynamic_update_slice(cache_k, k_t, (0, 0, 0, index))
+        cache_v = jax.lax.dynamic_update_slice(cache_v, v_t, (0, 0, 0, index))
+
+        batch, beam = beam_sel.shape[0], beam_sel.shape[1]
+        t_max = cache_k.shape[3]
+        qb = q.reshape(batch, beam, self.heads, self.dim_head)
+        kb = cache_k.reshape(batch, beam, self.heads, self.dim_head, t_max)
+        vb = cache_v.reshape(batch, beam, self.heads, self.dim_head, t_max)
+
+        # (B, i, j, H, T): slot i's query against every row j's keys.
+        logits = jnp.einsum(
+            "bihd,bjhdt->bijht", qb, kb, preferred_element_type=jnp.float32
+        ) * jnp.float32(self.dim_head**-0.5)
+        # Ancestry selection: exactly one j survives per (b, i, t).
+        logits = jnp.sum(logits * beam_sel[:, :, :, None, :], axis=2)
+        key_ok = (jnp.arange(t_max) <= index)[None, None, None, :]
+        logits = jnp.where(key_ok, logits, -jnp.finfo(jnp.float32).max)
+        probs = jax.nn.softmax(logits, axis=-1)  # (B, i, H, T) f32
+        w = (probs[:, :, None, :, :] * beam_sel[:, :, :, None, :]).astype(q.dtype)
+        out = jnp.einsum(
+            "bijht,bjhdt->bihd", w, vb, preferred_element_type=jnp.float32
+        ).astype(q.dtype)
+        out = out.reshape(batch * beam, self.heads, 1, self.dim_head)
+        return self._finish(out), cache_k, cache_v
+
+    def attend_cached_kv_beam(
+        self,
+        x_t: jnp.ndarray,
+        kv: dict,
+        beam: int,
+        key_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Cross-attention decode step for beam search against UNEXPANDED
+        precomputed K/V: every beam of an image shares the same encoder
+        output, so ``kv`` stays (B, H, dh, Nk) and is read once per image per
+        step instead of once per beam (beam x less HBM traffic on the decode
+        loop's dominant stream).
+
+        ``x_t``: (B*beam, 1, D); ``key_mask``: (B, Nk) or None.
+        """
+        q = _split_heads(self.q_proj(x_t), self.heads)  # (Bb, H, 1, dh)
+        if "k8" in kv:
+            k_t = kv["k8"].astype(q.dtype)
+            v_t = kv["v8"].astype(q.dtype)
+        else:
+            k_t, v_t = kv["k"], kv["v"]
+        batch, n_k = k_t.shape[0], k_t.shape[3]
+        qb = q.reshape(batch, beam, self.heads, self.dim_head)
+        if "k8" in kv:
+            qb = qb * kv["sk"][:, None, :, 0, :]  # fold K scales into q
+        logits = jnp.einsum(
+            "bihd,bhdn->bihn", qb, k_t, preferred_element_type=jnp.float32
+        ) * jnp.float32(self.dim_head**-0.5)
+        if key_mask is not None:
+            logits = jnp.where(
+                key_mask[:, None, None, :], logits, -jnp.finfo(jnp.float32).max
+            )
+        probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        out = jnp.einsum(
+            "bihn,bhdn->bihd", probs, v_t, preferred_element_type=jnp.float32
+        ).astype(q.dtype)
+        if "k8" in kv:
+            out = out * kv["sv"][:, None, :, 0, :]  # fold V scales into out
+        out = out.reshape(batch * beam, self.heads, 1, self.dim_head)
+        return self._finish(out)
+
     def attend_cached_kv(
         self,
         x_t: jnp.ndarray,
@@ -439,6 +527,49 @@ class AttentionStack(nn.Module):
                 elif kind == "cross":
                     out = block.attend_cached_kv(
                         h, cross_kv[layer], key_mask=enc_mask
+                    )
+                else:
+                    out = block(h, deterministic=True)
+                x = out + residual
+                idx += 1
+                if idx != n_sub:
+                    x = self._norm(x)
+        return x, tuple(new_cache)
+
+    def step_beam(
+        self,
+        x_t: jnp.ndarray,
+        cache: KVCache,
+        index: jnp.ndarray,
+        beam_sel: jnp.ndarray,
+        cross_kv=None,
+        enc_mask: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, KVCache]:
+        """One beam-search decode step over the whole stack.
+
+        Like ``step`` but caches are never reordered: ``beam_sel``
+        (B, beam, beam, T) is the ancestry one-hot consumed by the
+        self-attention, and ``cross_kv``/``enc_mask`` stay at batch level
+        (B, ...) — shared by all beams of an image (see
+        MultiHeadAttention.step_beam / attend_cached_kv_beam).
+        ``x_t``: (B*beam, 1, D) current-token activations."""
+        beam = beam_sel.shape[1]
+        n_sub = self.num_layers * (3 if self.cross_attend else 2)
+        new_cache = []
+        idx = 0
+        x = x_t
+        for layer in range(self.num_layers):
+            for kind, block in self._sublayers(layer):
+                residual = x
+                h = self._norm(x)
+                if kind == "self":
+                    out, ck, cv = block.step_beam(
+                        h, cache[layer]["k"], cache[layer]["v"], index, beam_sel
+                    )
+                    new_cache.append({"k": ck, "v": cv})
+                elif kind == "cross":
+                    out = block.attend_cached_kv_beam(
+                        h, cross_kv[layer], beam, key_mask=enc_mask
                     )
                 else:
                     out = block(h, deterministic=True)

@@ -2,8 +2,19 @@
 
 The reference has no beam search (its generate is top-k sampling only,
 reference decoder.py:97-116); this implements standard length-normalized
-beam search the TPU way: static shapes, one ``lax.while_loop``, caches kept
-flat over (batch * beam) rows and re-gathered by parent beam each step.
+beam search the TPU way: static shapes, one ``lax.while_loop``, and — the
+part that matters for speed — **no per-step cache reordering**. Cache rows
+are append-only; an ancestry matrix (B, beam, T) records which row holds
+each slot's K/V at every position, and the self-attention selects rows
+through its one-hot inside the kernel (models/attention.py:step_beam).
+The earlier implementation re-gathered the entire (B*beam, H, dh, T) cache
+with ``jnp.take`` every step — a full cache read+write per step that
+dominated the beam profile (measured 6.5 -> 16.6 img/s at the BASELINE #4
+config from removing it). Cross-attention K/V likewise stays at batch
+level (all beams of an image share the encoder output), so its HBM stream
+shrinks by the beam factor. (A chunked inner lax.scan like generate.py's
+was tried and measured slower here — 14.5 vs 16.6 img/s — the per-step
+top-k/gather sequencing doesn't pipeline the way the greedy body does.)
 
 Scoring: sum of token log-probs; finished beams (emitted EOS) are frozen and
 forced to continue with PAD at zero additional cost. Returns the best beam's
@@ -20,10 +31,6 @@ import jax.numpy as jnp
 from texocr_tpu.models.ocr_model import OCRModel
 
 NEG_INF = jnp.float32(-1e30)
-
-
-def _flatten_beams(x):
-    return x.reshape((-1,) + x.shape[2:])
 
 
 def beam_decode(
@@ -43,7 +50,7 @@ def beam_decode(
     """(B, N_enc, D) encoder output -> (B, max_len) best-beam tokens
     (optionally with the best beam's raw log-prob sum).
 
-    ``length_penalty`` alpha: finished beams are ranked by
+    ``length_penalty`` alpha: beams are ranked by
     score / ((5 + len) / 6)**alpha (GNMT); 0 = raw log-prob sum.
     """
     batch = enc.shape[0]
@@ -51,12 +58,10 @@ def beam_decode(
     max_len = min(max_len, model.config.decoder.max_length)
     bb = batch * beam_size
 
-    # Expand encoder state to (B*beam, ...): each beam attends the same image.
-    enc_exp = jnp.repeat(enc, beam_size, axis=0)
-    cross_kv = model.apply(variables, enc_exp, method=OCRModel.decoder_cross_kv)
-    enc_mask_exp = (
-        jnp.repeat(enc_mask, beam_size, axis=0) if enc_mask is not None else None
-    )
+    # Cross K/V and enc mask stay UNEXPANDED (B, ...): every beam of an image
+    # attends the same encoder output, so expanding them would multiply the
+    # decode loop's dominant HBM stream by beam_size for no information.
+    cross_kv = model.apply(variables, enc, method=OCRModel.decoder_cross_kv)
     cache = model.apply(
         variables, bb, max_len + 1, method=OCRModel.decoder_init_cache
     )
@@ -73,23 +78,37 @@ def beam_decode(
     done = jnp.zeros((batch, beam_size), jnp.bool_)
     cur = jnp.full((batch, beam_size), bos_token, jnp.int32)
     lengths = jnp.zeros((batch, beam_size), jnp.int32)
+    # Ancestry: anc[b, i, t] = cache row (within image b's beam group) holding
+    # slot i's position-t K/V. Rows never move; this index does.
+    anc = jnp.zeros((batch, beam_size, max_len + 1), jnp.int32)
+    row_ids = jnp.broadcast_to(
+        jnp.arange(beam_size, dtype=jnp.int32)[None, :, None],
+        (batch, beam_size, 1),
+    )
 
     vocab = model.config.decoder.vocab_size
 
     def cond(state):
-        step, _, _, _, done, _, _, _ = state
+        step, _, _, _, _, done, _, _ = state
         return (step < max_len) & ~jnp.all(done)
 
     def body(state):
-        step, cur, cache, tokens, done, scores, lengths, _ = state
+        step, cur, cache, anc, tokens, done, scores, lengths = state
+        # The token being fed now writes its K/V into its own row.
+        anc = jax.lax.dynamic_update_slice(anc, row_ids, (0, 0, step))
+        beam_sel = (
+            anc[:, :, None, :]
+            == jnp.arange(beam_size, dtype=jnp.int32)[None, None, :, None]
+        ).astype(jnp.float32)
         logits, cache = model.apply(
             variables,
-            _flatten_beams(cur),
+            cur.reshape(-1),
             step,
             cache,
+            beam_sel,
             cross_kv,
-            enc_mask_exp,
-            method=OCRModel.decoder_step,
+            enc_mask,
+            method=OCRModel.decoder_step_beam,
         )
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         logp = logp.reshape(batch, beam_size, vocab)
@@ -105,45 +124,32 @@ def beam_decode(
         parent = top_idx // vocab  # (B, beam)
         tok = (top_idx % vocab).astype(jnp.int32)
 
-        # Reorder per-beam state by parent.
+        # Reorder per-slot state by parent — a few (B, beam[, T]) int/bool
+        # gathers; the multi-MB KV caches stay put.
         gather = lambda x: jnp.take_along_axis(x, parent, axis=1)
-        tokens = jnp.take_along_axis(
-            tokens, parent[..., None], axis=1
-        )
+        anc = jnp.take_along_axis(anc, parent[..., None], axis=1)
+        tokens = jnp.take_along_axis(tokens, parent[..., None], axis=1)
         tokens = jax.lax.dynamic_update_slice(
             tokens, tok[..., None], (0, 0, step)
         )
         new_done = gather(done) | (tok == eos_token)
         lengths = jnp.where(gather(done), gather(lengths), step + 1)
 
-        # Reorder the KV caches: flat row index = b * beam + parent.
-        row = (
-            jnp.arange(batch)[:, None] * beam_size + parent
-        ).reshape(-1)
-        cache = jax.tree.map(lambda c: jnp.take(c, row, axis=0), cache)
-
         return (
             step + 1,
             tok,
             cache,
+            anc,
             tokens,
             new_done,
             top_scores,
             lengths,
-            parent,
         )
 
-    state = (
-        0,
-        cur,
-        cache,
-        tokens,
-        done,
-        scores,
-        lengths,
-        jnp.zeros((batch, beam_size), jnp.int32),
+    state = (0, cur, cache, anc, tokens, done, scores, lengths)
+    _, _, _, _, tokens, done, scores, lengths = jax.lax.while_loop(
+        cond, body, state
     )
-    _, _, _, tokens, done, scores, lengths, _ = jax.lax.while_loop(cond, body, state)
 
     # Rank: GNMT length-normalized score. Every beam is normalized —
     # finished beams by their EOS position, unfinished beams by their

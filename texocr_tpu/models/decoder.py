@@ -141,3 +141,23 @@ class TransformerDecoder(nn.Module):
         )
         x = self.norm(x.astype(jnp.float32)).astype(self.dtype)
         return self.to_logits(x)[:, 0, :], cache
+
+    def step_beam(
+        self,
+        token_t: jnp.ndarray,
+        index: jnp.ndarray,
+        cache: KVCache,
+        beam_sel: jnp.ndarray,
+        cross_kv=None,
+        enc_mask: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, KVCache]:
+        """Beam-search decode step: (B*beam,) token ids -> ((B*beam, V)
+        logits, cache). Caches stay row-stable; ``beam_sel`` is the ancestry
+        one-hot (see AttentionStack.step_beam). ``cross_kv``/``enc_mask`` are
+        batch-level (unexpanded)."""
+        x = self._embed(token_t[:, None], index[None, None])
+        x, cache = self.attn_layers.step_beam(
+            x, cache, index, beam_sel, cross_kv=cross_kv, enc_mask=enc_mask
+        )
+        x = self.norm(x.astype(jnp.float32)).astype(self.dtype)
+        return self.to_logits(x)[:, 0, :], cache

@@ -90,6 +90,13 @@ class OCRModel(nn.Module):
             fused_qkv=fused_qkv,
         )
 
+    def decoder_step_beam(self, token_t, index, cache, beam_sel, cross_kv,
+                          enc_mask=None):
+        return self.decoder.step_beam(
+            token_t, index, cache, beam_sel, cross_kv=cross_kv,
+            enc_mask=enc_mask,
+        )
+
 
 def create_model(config: dict) -> OCRModel:
     """Factory from a reference-format config dict (reference ocr_model.py:113-130)."""

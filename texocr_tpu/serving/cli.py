@@ -1,6 +1,6 @@
 """One-off inference CLI (the reference ocr_model.py __main__ surface):
 ``python -m texocr_tpu.serving.cli equation.png --config config/config.yml
-[--checkpoint model.pth] [--mode greedy|sample] [--max_len 350]``."""
+[--checkpoint model.pth] [--mode greedy|beam|sample] [--max_len 350]``."""
 
 from __future__ import annotations
 
@@ -19,7 +19,8 @@ def main():
     p.add_argument("--max_len", type=int, default=350)
     p.add_argument("--temp", type=float, default=0.3)
     p.add_argument("--mode", type=str, default="greedy",
-                   choices=["greedy", "sample"])
+                   choices=["greedy", "beam", "sample"])
+    p.add_argument("--beam_size", type=int, default=5)
     args = p.parse_args()
 
     from PIL import Image
@@ -30,7 +31,7 @@ def main():
     engine = TexOCR(config)
     tokens, latex = engine(
         Image.open(args.image), max_len=args.max_len, temp=args.temp,
-        mode=args.mode,
+        mode=args.mode, beam_size=args.beam_size,
     )
     print(f"tokens: {tokens}")
     print(latex)

@@ -12,7 +12,8 @@ TPU-first serving details:
   encode+decode compiles once per bucket and is reused.
 - Decode is the KV-cached jitted loop (models/generate.py), greedy by
   default; ``mode='sample'`` reproduces the reference's top-k/temperature
-  sampling (default temp 0.3, ocr_model.py:94).
+  sampling (default temp 0.3, ocr_model.py:94); ``mode='beam'`` runs the
+  ancestry-indexed beam search (models/beam.py, BASELINE config #4).
 - The reference runs its RandomAffine augmentation at inference time
   (a defect; dataset.py:365-371 via ocr_model.py:97); we don't.
 """
@@ -86,8 +87,9 @@ class TexOCR:
 
     # -- jit cache per (canvas, max_len, mode) -------------------------------
 
-    def _decode_fn(self, canvas: Tuple[int, int], max_len: int, mode: str):
-        key = (canvas, max_len, mode)
+    def _decode_fn(self, canvas: Tuple[int, int], max_len: int, mode: str,
+                   beam_size: int = 5):
+        key = (canvas, max_len, mode, beam_size if mode == "beam" else None)
         if key not in self._compiled:
             model, cfg = self.model, self.model.config
 
@@ -107,6 +109,20 @@ class TexOCR:
                         model, params, enc,
                         bos_token=cfg.bos_token, eos_token=cfg.eos_token,
                         pad_token=cfg.pad_token, max_len=max_len,
+                    )
+
+            elif mode == "beam":
+                from texocr_tpu.models.beam import beam_decode
+
+                @jax.jit
+                def fn(params, images_u8):
+                    images = to_model_input(images_u8)
+                    enc = model.apply(params, images, method=OCRModel.encode)
+                    return beam_decode(
+                        model, params, enc,
+                        bos_token=cfg.bos_token, eos_token=cfg.eos_token,
+                        pad_token=cfg.pad_token, max_len=max_len,
+                        beam_size=beam_size,
                     )
 
             else:
@@ -161,19 +177,23 @@ class TexOCR:
         max_len: int = 350,
         temp: float = 0.3,
         mode: str = "greedy",
+        beam_size: int = 5,
     ) -> Tuple[list, str]:
         """Returns (token id list up to and excluding EOS, LaTeX string) —
-        the reference wrapper's surface (ocr_model.py:94-110)."""
+        the reference wrapper's surface (ocr_model.py:94-110).
+        ``mode``: 'greedy' | 'beam' | 'sample'."""
         batch = self.preprocess(img)
-        tokens = self.generate_batch(batch, max_len=max_len, temp=temp, mode=mode)
+        tokens = self.generate_batch(
+            batch, max_len=max_len, temp=temp, mode=mode, beam_size=beam_size
+        )
         return self.postprocess(np.asarray(tokens)[0])
 
     def generate_batch(self, images: np.ndarray, max_len=350, temp=0.3,
-                       mode="greedy"):
+                       mode="greedy", beam_size=5):
         canvas = tuple(images.shape[1:3])
-        fn = self._decode_fn(canvas, max_len, mode)
+        fn = self._decode_fn(canvas, max_len, mode, beam_size=beam_size)
         x = jnp.asarray(images)
-        if mode == "greedy":
+        if mode in ("greedy", "beam"):
             return fn(self.params, x)
         self._rng, sub = jax.random.split(self._rng)
         return fn(self.params, x, sub, jnp.float32(temp))

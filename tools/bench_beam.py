@@ -1,0 +1,119 @@
+"""BASELINE.json config #4: beam-5 decode with KV cache at a 512-token budget.
+
+Flagship model at the (160, 1008) max canvas, batch 8 (= 40 live beams),
+beam_size 5, fixed 512 decode steps (EOS early-exit disabled via an
+unreachable eos id so the number is shape-honest). Prints one JSON line.
+
+Round-1 result (per-step full-cache jnp.take re-gather): 6.5 img/s.
+"""
+
+import json
+import os
+import sys
+import time
+
+_plat = os.environ.get("JAX_PLATFORMS", "")
+if _plat and "cpu" not in _plat.split(","):
+    os.environ["JAX_PLATFORMS"] = _plat + ",cpu"
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from texocr_tpu.models import OCRModel  # noqa: E402
+from texocr_tpu.models.beam import beam_decode  # noqa: E402
+from __graft_entry__ import _flagship_config  # noqa: E402
+
+BATCH = 8
+BEAM = 5
+DECODE_STEPS = 512
+H, W = 160, 1008
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import dataclasses
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+    model = OCRModel(
+        dataclasses.replace(
+            _flagship_config(max_length=DECODE_STEPS + 1, dtype="bfloat16"),
+            use_flash_attention=jax.default_backend() == "tpu",
+        )
+    )
+    init_model = OCRModel(
+        _flagship_config(max_length=DECODE_STEPS + 1, dtype="bfloat16")
+    )
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        params = init_model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 32, 64, 1), jnp.float32),
+            jnp.full((1, 8), 999, jnp.int32),
+        )
+    params = jax.device_put(params, dev)
+
+    rng = np.random.default_rng(0)
+    batches = [
+        jax.device_put(
+            jnp.asarray(rng.random((BATCH, H, W, 1), dtype=np.float32)), dev
+        )
+        for _ in range(4)
+    ]
+
+    cfg = model.config
+
+    @jax.jit
+    def decode(params, images):
+        enc = model.apply(params, images, method=OCRModel.encode)
+        tokens = beam_decode(
+            model,
+            params,
+            enc,
+            bos_token=cfg.bos_token,
+            eos_token=-1,  # fixed-length measurement
+            pad_token=cfg.pad_token,
+            max_len=DECODE_STEPS,
+            beam_size=BEAM,
+        )
+        return jnp.sum(tokens)  # checksum forces full execution
+
+    t0 = time.time()
+    float(decode(params, batches[0]))
+    log(f"compile + first run: {time.time()-t0:.1f}s")
+
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        float(decode(params, batches[1 + i]))
+        times.append(time.time() - t0)
+    best = min(times)
+    ips = BATCH / best
+    log(f"runs: {[f'{t:.3f}s' for t in times]} -> {ips:.2f} images/sec")
+
+    print(
+        json.dumps(
+            {
+                "metric": "batch8_beam5_decode_512steps_images_per_sec",
+                "value": round(ips, 2),
+                "unit": "images/sec/chip",
+                "vs_round1": round(ips / 6.5, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
