@@ -1,9 +1,106 @@
-"""Offline data-factory host logic: splitting and failure pruning."""
+"""Offline data-factory host logic: splitting, rendering (against stub
+latex/dvipng/convert binaries — texlive is not in this image) and failure
+pruning."""
 
 import os
+import stat
+import textwrap
 
-from texocr_tpu.data.factory.render_data import prune_equations
+from texocr_tpu.data.factory.render_data import prune_equations, render_images
 from texocr_tpu.data.factory.split_data import split_data
+
+
+def _write_stub(path, body):
+    path.write_text("#!/usr/bin/env python3\n" + textwrap.dedent(body))
+    path.chmod(path.stat().st_mode | stat.S_IXUSR | stat.S_IXGRP | stat.S_IXOTH)
+
+
+def _install_render_stubs(bin_dir):
+    """Deterministic fake latex/dvipng/convert with the real CLI surfaces
+    render_one drives (reference render_data.py:55-92 call shapes)."""
+    bin_dir.mkdir(exist_ok=True)
+    # latex -interaction=nonstopmode -output-directory DIR FILE.tex -> FILE.dvi
+    # Fails (like real latex on bad input) when the equation contains FAILME.
+    _write_stub(bin_dir / "latex", r"""
+        import pathlib, sys
+        tex = pathlib.Path(sys.argv[-1])
+        out_dir = pathlib.Path(sys.argv[sys.argv.index("-output-directory") + 1])
+        src = tex.read_text()
+        if "FAILME" in src:
+            sys.exit(1)
+        (out_dir / (tex.stem + ".dvi")).write_text(src)
+    """)
+    # dvipng -D DPI -T tight -o OUT.png IN.dvi -> PNG whose size depends on
+    # the equation (odd sizes, so the convert padding step has work to do).
+    _write_stub(bin_dir / "dvipng", r"""
+        import pathlib, sys
+        from PIL import Image
+        out = pathlib.Path(sys.argv[sys.argv.index("-o") + 1])
+        dvi = pathlib.Path(sys.argv[-1])
+        n = len(dvi.read_text())
+        Image.new("L", (37 + n, 23), 0).save(out)
+    """)
+    # convert IN -gravity center -extent WxH OUT -> center-pad with white.
+    _write_stub(bin_dir / "convert", r"""
+        import pathlib, sys
+        from PIL import Image
+        src, out = pathlib.Path(sys.argv[1]), pathlib.Path(sys.argv[-1])
+        w, h = map(int, sys.argv[sys.argv.index("-extent") + 1].split("x"))
+        im = Image.open(src)
+        canvas = Image.new("L", (w, h), 255)
+        canvas.paste(im, ((w - im.width) // 2, (h - im.height) // 2))
+        canvas.save(out)
+    """)
+
+
+def test_render_factory_end_to_end_with_stub_binaries(tmp_path, monkeypatch):
+    """L1 executes: render_images + prune_equations against stub binaries,
+    including the failure path (reference render_data.py:55-92,140-171)."""
+    _install_render_stubs(tmp_path / "bin")
+    monkeypatch.setenv(
+        "PATH", f"{tmp_path / 'bin'}{os.pathsep}{os.environ['PATH']}"
+    )
+
+    data = tmp_path / "train"
+    data.mkdir()
+    eqs = ["x + 1", "FAILME \\badmacro", "\\int_0^1 x^2 dx"]
+    ids = ["eq_1.png", "eq_2.png", "eq_3.png"]
+    (data / "labels.txt").write_text("\n".join(eqs) + "\n")
+    (data / "ids.txt").write_text("\n".join(ids) + "\n")
+
+    render_images(str(data), num_processes=2, patch_size=16)
+    prune_equations(str(data))
+
+    # Successes rendered to patch-multiple canvases (h mult 16, w mult 64).
+    from PIL import Image
+
+    for good in ("eq_1.png", "eq_3.png"):
+        p = data / "images" / good
+        assert p.exists(), good
+        with Image.open(p) as im:
+            w, h = im.size
+        assert h % 16 == 0 and w % 64 == 0, (good, w, h)
+    assert not (data / "images" / "eq_2.png").exists()
+
+    # Failure logged and pruned; intermediates cleaned up.
+    assert "eq_2" in (data / "failed.txt").read_text()
+    assert (data / "ids_pruned.txt").read_text().splitlines() == [
+        "eq_1.png", "eq_3.png"
+    ]
+    assert (data / "labels_pruned.txt").read_text().splitlines() == [
+        "x + 1", "\\int_0^1 x^2 dx"
+    ]
+    leftovers = [
+        p for p in (data / "images").iterdir() if p.suffix != ".png"
+    ]
+    assert leftovers == []
+
+    # The loader picks up the pruned files (dataset.py prefers *_pruned).
+    from texocr_tpu.data import ImageDataset
+    from texocr_tpu.tokenizer import DEFAULT_VOCAB_PATH
+
+    ds = ImageDataset(str(data), DEFAULT_VOCAB_PATH, dataset_size=10)
+    assert len(ds) == 2
 
 
 def test_split_data_layout(tmp_path):

@@ -68,6 +68,42 @@ def test_dp_and_tp_agree():
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("mesh_spec", [{"data": 8}, {"data": 2, "model": 4}])
+def test_sharded_decode_matches_single_device(mesh_spec):
+    """The KV-cached greedy decode (and the beam decode) produce the same
+    tokens under a multi-device mesh as on one device — the generate path is
+    proven under {data} and {data, model} layouts, not just the train step."""
+    from texocr_tpu.models.beam import beam_decode
+    from texocr_tpu.models.generate import greedy_decode
+    from texocr_tpu.parallel.sharding import batch_sharding, shard_pytree
+
+    model = OCRModel(tiny_model_config())
+    images, labels = _batch()
+    params = model.init(jax.random.PRNGKey(0), images, labels)
+
+    def decode(params, images):
+        enc = model.apply(params, images, method=OCRModel.encode)
+        greedy = greedy_decode(
+            model, params, enc,
+            bos_token=48, eos_token=47, pad_token=49, max_len=8,
+        )
+        beam = beam_decode(
+            model, params, enc,
+            bos_token=48, eos_token=47, pad_token=49, max_len=8, beam_size=3,
+        )
+        return greedy, beam
+
+    single = jax.jit(decode)(params, images)
+
+    mesh = create_mesh(mesh_spec)
+    params_sh = {"params": shard_pytree(params["params"], mesh)}
+    images_sh = jax.device_put(images, batch_sharding(mesh))
+    sharded = jax.jit(decode)(params_sh, images_sh)
+
+    np.testing.assert_array_equal(np.asarray(single[0]), np.asarray(sharded[0]))
+    np.testing.assert_array_equal(np.asarray(single[1]), np.asarray(sharded[1]))
+
+
 def test_unmasked_parity_loss_mode():
     model = OCRModel(tiny_model_config())
     tx = get_optimizer("Adam", {"lr": 1e-3})

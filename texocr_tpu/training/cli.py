@@ -28,10 +28,34 @@ def parse_args() -> argparse.Namespace:
         "--metrics", type=str, default=None,
         help="Write JSON-lines training metrics to this file.",
     )
+    parser.add_argument(
+        "--multihost", action="store_true",
+        help="Initialize jax.distributed before building the mesh (one "
+             "process per host; auto-detects the coordinator on TPU pods).",
+    )
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="host:port of process 0 (explicit multi-host).")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     return parser.parse_args()
 
 
 def main(args: argparse.Namespace) -> None:
+    from texocr_tpu.parallel.distributed import maybe_initialize_distributed
+
+    if maybe_initialize_distributed(
+        multihost=args.multihost,
+        coordinator=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    ):
+        import jax
+
+        print(
+            f"multi-host: process {jax.process_index()}/{jax.process_count()},"
+            f" {jax.device_count()} global devices"
+        )
+
     config = load_config(args.config)
     if args.resume:
         config["resume"] = True
