@@ -91,6 +91,35 @@ def test_save_load_round_trip(dataset, tmp_path):
     assert again.token_ids == dataset.token_ids
 
 
+def test_lazy_dataset_matches_eager(dataset, tmp_path):
+    """lazy=True (the 100k-scale memory plan: paths + sizes in RAM, pixels
+    decoded on demand) is item-for-item identical to the eager dataset and
+    survives save/load with a small pickle (no embedded arrays)."""
+    lazy = ImageDataset(
+        str(dataset.root_dir), DEFAULT_VOCAB_PATH, dataset_size=100, lazy=True
+    )
+    assert len(lazy) == len(dataset)
+    assert lazy.sizes == dataset.sizes
+    assert lazy.max_height == dataset.max_height
+    assert lazy.max_width == dataset.max_width
+    assert all(a is None for a in lazy.images)  # nothing decoded eagerly
+    for i in (0, 5, 11):
+        img_l, ids_l = lazy[i]
+        img_e, ids_e = dataset[i]
+        np.testing.assert_array_equal(img_l, img_e)
+        assert ids_l == ids_e
+
+    p_lazy, p_eager = tmp_path / "lazy.pkl", tmp_path / "eager.pkl"
+    lazy.save(str(p_lazy))
+    dataset.save(str(p_eager))
+    assert p_lazy.stat().st_size < p_eager.stat().st_size / 5
+    again = ImageDataset.load(str(p_lazy))
+    img_a, ids_a = again[7]
+    img_e, ids_e = dataset[7]
+    np.testing.assert_array_equal(img_a, img_e)
+    assert ids_a == ids_e
+
+
 def test_preprocess_jax_matches_host():
     import jax.numpy as jnp
     from PIL import Image

@@ -44,8 +44,18 @@ class ImageDataset:
         tokenizer_path: Optional[str] = None,
         dataset_size: Optional[int] = None,
         augment: bool = False,
+        lazy: bool = False,
     ):
+        """``lazy=True`` keeps only file paths + sizes in memory and decodes
+        PNGs on demand in ``__getitem__`` — the memory plan for the full
+        100k x (160, 1008) reference scale, where eager uint8 arrays cost
+        ~16 GB of RAM and multi-GB pickles (the reference eagerly loads LIVE
+        PIL objects, reference dataset.py:216-236; eager here stays the
+        default for parity and small-set speed). Lazy datasets pickle their
+        paths, so .save() payloads stay small; the prefetch thread in the
+        train loop hides the per-batch decode latency."""
         self.augment = augment
+        self.lazy = lazy
         if not (root_dir and tokenizer_path and dataset_size):
             return  # bare instance for .load()
 
@@ -68,13 +78,20 @@ class ImageDataset:
 
         from PIL import Image
 
-        self.images: List[np.ndarray] = []
+        self.images: List[Optional[np.ndarray]] = []
         self.sizes: Dict[Tuple[int, int], List[int]] = defaultdict(list)
+        heights, widths = [], []
         for i, image_id in enumerate(self.image_ids):
             with Image.open(root / "images" / image_id) as im:
-                arr = np.asarray(im.convert("L"), dtype=np.uint8)
-            self.images.append(arr)
-            h, w = arr.shape
+                if lazy:
+                    w, h = im.size  # header only; pixels are not decoded
+                    self.images.append(None)
+                else:
+                    arr = np.asarray(im.convert("L"), dtype=np.uint8)
+                    h, w = arr.shape
+                    self.images.append(arr)
+            heights.append(h)
+            widths.append(w)
             self.sizes[(w, h)].append(i)
 
         # Tokenize every label ONCE, through the native batched encoder
@@ -82,17 +99,25 @@ class ImageDataset:
         # per item per epoch instead).
         self.token_ids = self.tokenizer.encode_batch(self.labels)
         self.max_seq_len = max((len(t) for t in self.token_ids), default=0) + 2
-        self.max_height = max((a.shape[0] for a in self.images), default=0)
-        self.max_width = max((a.shape[1] for a in self.images), default=0)
+        self.max_height = max(heights, default=0)
+        self.max_width = max(widths, default=0)
 
     # -- sample access -------------------------------------------------------
 
     def __len__(self) -> int:
         return self.dataset_size
 
+    def _load_array(self, idx: int) -> np.ndarray:
+        if self.images[idx] is not None:
+            return self.images[idx]
+        from PIL import Image
+
+        with Image.open(Path(self.root_dir) / "images" / self.image_ids[idx]) as im:
+            return np.asarray(im.convert("L"), dtype=np.uint8)
+
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, List[int]]:
         """(float32 (H, W, 1) preprocessed image, token id list)."""
-        arr = self.images[idx]
+        arr = self._load_array(idx)
         if self.augment:
             from PIL import Image
 
@@ -116,7 +141,12 @@ class ImageDataset:
             "tokenizer_path": self.tokenizer_path,
             "labels": self.labels,
             "image_ids": self.image_ids,
-            "images": self.images,
+            # Lazy datasets pickle paths + sizes, not pixels (memory plan for
+            # the 100k x (160,1008) scale); eager ones embed the uint8 arrays.
+            "images": None if self.lazy else self.images,
+            "lazy": self.lazy,
+            "root_dir": str(self.root_dir) if self.lazy else None,
+            "sizes": dict(self.sizes) if self.lazy else None,
             "token_ids": self.token_ids,
             "max_seq_len": self.max_seq_len,
             "max_height": self.max_height,
@@ -136,17 +166,23 @@ class ImageDataset:
         ds.tokenizer.load(ds.tokenizer_path)
         ds.labels = payload["labels"]
         ds.image_ids = payload["image_ids"]
-        ds.images = payload["images"]
+        ds.lazy = payload.get("lazy", False)
         ds.token_ids = payload["token_ids"]
         ds.max_seq_len = payload["max_seq_len"]
         ds.max_height = payload["max_height"]
         ds.max_width = payload["max_width"]
         ds.augment = payload["augment"]
         ds.dataset_size = len(ds.labels)
-        ds.sizes = defaultdict(list)
-        for i, arr in enumerate(ds.images):
-            h, w = arr.shape
-            ds.sizes[(w, h)].append(i)
+        if ds.lazy:
+            ds.root_dir = Path(payload["root_dir"])
+            ds.images = [None] * ds.dataset_size
+            ds.sizes = defaultdict(list, payload["sizes"])
+        else:
+            ds.images = payload["images"]
+            ds.sizes = defaultdict(list)
+            for i, arr in enumerate(ds.images):
+                h, w = arr.shape
+                ds.sizes[(w, h)].append(i)
         return ds
 
     def __repr__(self) -> str:

@@ -164,7 +164,11 @@ class GroupNormAct(nn.Module):
         s2 = jnp.sum(xf * xf, axis=reduce_axes)
         n = int(np.prod([x.shape[a] for a in reduce_axes])) * (c // g)
         mean = s1.reshape(-1, g, c // g).sum(-1) / n  # (B, G)
-        var = s2.reshape(-1, g, c // g).sum(-1) / n - mean * mean
+        # E[x^2] - E[x]^2 can dip slightly negative in fp before the rsqrt
+        # (catastrophic cancellation on near-constant groups); clamp at 0.
+        var = jnp.maximum(
+            s2.reshape(-1, g, c // g).sum(-1) / n - mean * mean, 0.0
+        )
         inv = jax.lax.rsqrt(var + self.eps)
         # Broadcast group stats back to channels and fold with the affine.
         mean_c = jnp.repeat(mean, c // g, axis=-1)  # (B, C)

@@ -31,6 +31,13 @@ def main():
     p.add_argument("--save_dir", type=str, default="/tmp/demo_ckpts")
     p.add_argument("--eval_batches", type=int, default=4)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--seq_pad", type=int, default=128,
+                   help="labels pad to a multiple of this (compile-cache knob)")
+    p.add_argument("--eval_max_len", type=int, default=120)
+    p.add_argument("--eval_batch_size", type=int, default=None)
+    p.add_argument("--keep_small", action="store_true",
+                   help="keep partial tail batches (small datasets)")
     args = p.parse_args()
 
     from texocr_tpu.config import ModelConfig
@@ -55,22 +62,22 @@ def main():
         "batch_size": args.batch_size,
         "n_epochs": args.epochs,
         "optimizer": "Adam",
-        "optimizer_args": {"lr": 3e-4, "weight_decay": 0.0},
+        "optimizer_args": {"lr": args.lr, "weight_decay": 0.0},
         "seed": 42,
         "save_checkpoint": True,
         "save_dir": args.save_dir,
         "save_freq": max(args.epochs // 2, 1),
         "val_freq": max(args.epochs // 2, 1),
         "drop_last": True,
-        "keep_small": False,
+        "keep_small": args.keep_small,
         "batch_shuffle": True,
         "id_shuffle": True,
         "dtype": "bfloat16",
         "use_flash_attention": False,
         "mesh": {"data": -1},
         "mask_pad_loss": True,
-        # One compiled seq len: all labels pad to 128.
-        "seq_pad_multiple": 128,
+        # Bounded compiled seq lens: labels pad to multiples of this.
+        "seq_pad_multiple": args.seq_pad,
         "loss_fn": "CrossEntropyLoss",
         "resume": args.resume,
         "encoder": {"n_channels": 1, "embed_dim": 256, "num_layers": 4,
@@ -84,16 +91,21 @@ def main():
     # Greedy-decode evaluation on the test split.
     eval_config = dict(config)
     eval_config["vocab_size"] = test_set.tokenizer.vocab_size
-    eval_config["max_length"] = pad_to_multiple(
-        max(test_set.max_seq_len, train_set.max_seq_len), 128
+    eval_config["max_length"] = max(
+        pad_to_multiple(
+            max(test_set.max_seq_len, train_set.max_seq_len), args.seq_pad
+        ),
+        args.eval_max_len + 1,
     )
+    if args.eval_batch_size:
+        eval_config["batch_size"] = args.eval_batch_size
     eval_model = OCRModel(ModelConfig.from_dict(eval_config))
     metrics = test_model(
         test_set,
         eval_model,
         {"params": state.params},
         eval_config,
-        max_len=120,
+        max_len=args.eval_max_len,
         verbose=True,
         max_batches=args.eval_batches,
     )

@@ -92,6 +92,70 @@ def render(eq: str, rng):
     return canvas
 
 
+# Realistic-regime mode (VERDICT round-1 #2): the reference's operating
+# profile is long BPE label sequences (100-300 tokens) on canvases up to the
+# (160, 1008) maximum. Equations get many terms; the display string wraps
+# across lines so tall full-width buckets actually occur. Canvases quantize
+# to a fixed profile set so every bucket accumulates full batches.
+REALISTIC_PROFILES = [(32, 320), (32, 640), (48, 1008), (96, 1008), (160, 1008)]
+
+
+def render_realistic(eq: str, rng):
+    """Wrapped multi-line rendering onto the smallest fitting profile canvas
+    (h mult 16, w mult 64, max (160, 1008) — the real render rule's shapes)."""
+    from PIL import Image, ImageDraw, ImageFont
+
+    font = ImageFont.load_default()
+    display = eq.replace("\\", "").replace("{", "(").replace("}", ")")
+    lines, cur = [], ""
+    for word in display.split():
+        if len(cur) + len(word) + 1 > 160 and cur:
+            lines.append(cur)
+            cur = word
+        else:
+            cur = f"{cur} {word}".strip()
+    lines.append(cur)
+    text = "\n".join(lines)
+
+    probe = Image.new("L", (8, 8), 255)
+    bbox = ImageDraw.Draw(probe).multiline_textbbox((0, 0), text, font=font)
+    w, h = bbox[2] - bbox[0] + 12, bbox[3] - bbox[1] + 10
+    img = Image.new("L", (max(w, 32), max(h, 16)), 255)
+    ImageDraw.Draw(img).multiline_text((6, 4), text, font=font, fill=0)
+    w, h = img.size
+
+    for ph, pw in REALISTIC_PROFILES:
+        if h <= ph and w <= pw:
+            ch, cw = ph, pw
+            break
+    else:  # oversized: downscale into the max canvas
+        ch, cw = REALISTIC_PROFILES[-1]
+        scale = min(ch / h, cw / w)
+        img = img.resize((max(1, int(w * scale)), max(1, int(h * scale))),
+                         Image.BILINEAR)
+        w, h = img.size
+    canvas = Image.new("L", (cw, ch), 255)
+    canvas.paste(img, ((cw - w) // 2, (ch - h) // 2))
+    return canvas
+
+
+def realistic_equation(rng):
+    """Mixture of lengths: ~30% short, ~40% medium, ~30% long (the long tail
+    is what pushes BPE labels into the 100-300 token range)."""
+    r = rng.random()
+    if r < 0.3:
+        n_terms = int(rng.integers(2, 7))
+    elif r < 0.7:
+        n_terms = int(rng.integers(8, 20))
+    else:  # ~12 BPE tokens/term -> the 100-300-token long tail
+        n_terms = int(rng.integers(20, 29))
+    parts = [random_term(rng)]
+    for _ in range(n_terms - 1):
+        parts.append(rng.choice(OPS))
+        parts.append(random_term(rng))
+    return " ".join(parts)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", type=str, default="data_demo")
@@ -99,6 +163,9 @@ def main():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--simple", action="store_true",
                    help="short flat equations (easier image grounding demo)")
+    p.add_argument("--realistic", action="store_true",
+                   help="reference difficulty profile: long labels (100-300 "
+                        "BPE tokens), buckets up to the (160, 1008) canvas")
     args = p.parse_args()
 
     rng = np.random.default_rng(args.seed)
@@ -106,20 +173,24 @@ def main():
     if args.simple:  # flat atoms only: every token must be read off the image
         orig_term = random_term
         random_term = lambda rng, depth=0: random_atom(rng)
-    eqs = [random_equation(rng, max_terms=3 if args.simple else 5)
-           for _ in range(args.n)]
+    if args.realistic:
+        eqs = [realistic_equation(rng) for _ in range(args.n)]
+    else:
+        eqs = [random_equation(rng, max_terms=3 if args.simple else 5)
+               for _ in range(args.n)]
     splits = {
         "train": eqs[: int(args.n * 0.8)],
         "test": eqs[int(args.n * 0.8) : int(args.n * 0.95)],
         "val": eqs[int(args.n * 0.95) :],
     }
+    render_fn = render_realistic if args.realistic else render
     for split, labels in splits.items():
         root = os.path.join(args.out, split)
         os.makedirs(os.path.join(root, "images"), exist_ok=True)
         ids = []
         for i, eq in enumerate(labels):
             name = f"eq_{i:05d}.png"
-            render(eq, rng).save(os.path.join(root, "images", name))
+            render_fn(eq, rng).save(os.path.join(root, "images", name))
             ids.append(name)
         with open(os.path.join(root, "labels.txt"), "w") as f:
             f.write("\n".join(labels) + "\n")
@@ -136,8 +207,18 @@ def main():
             os.path.join(args.out, split), DEFAULT_VOCAB_PATH, dataset_size=args.n
         )
         ds.save(os.path.join(args.out, split, f"{split}set.pkl"))
+        lens = sorted(len(t) for t in ds.token_ids)
+        med = lens[len(lens) // 2] if lens else 0
         print(f"{split}: pickled ({len(ds)} items, max_seq_len {ds.max_seq_len}, "
-              f"{len(ds.sizes)} shape buckets)")
+              f"{len(ds.sizes)} shape buckets, BPE len p50={med} "
+              f"max={lens[-1] if lens else 0})")
+        if split == "train":
+            from collections import Counter
+
+            shapes = Counter()
+            for (w, h), idxs in ds.sizes.items():
+                shapes[(h, w)] = len(idxs)
+            print(f"  bucket sizes (h, w): {dict(shapes)}")
 
 
 if __name__ == "__main__":
