@@ -1,0 +1,110 @@
+"""Device-resident training data path (training/device_data.py): on-device
+batch materialization matches the host collator/transform arithmetic, the
+scan dispatch trains, and the loop integration runs under a fake mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from texocr_tpu.data import ImageDataset
+from texocr_tpu.data.dataset import BatchCollator
+from texocr_tpu.tokenizer import DEFAULT_VOCAB_PATH, load_default_tokenizer
+from texocr_tpu.training.device_data import (
+    DeviceResidentData,
+    gather_batch,
+    make_scan_train_step,
+)
+
+from tests.tiny import TINY_CONFIG, synthetic_dataset_dir
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    tok = load_default_tokenizer()
+    root = synthetic_dataset_dir(tmp_path_factory.mktemp("ddata"), tok, per_size=6)
+    return ImageDataset(str(root), DEFAULT_VOCAB_PATH, dataset_size=100)
+
+
+def test_buckets_match_dataset(dataset):
+    data = DeviceResidentData.from_dataset(dataset, seq_pad_multiple=8)
+    assert set(data.buckets) == {(h, w) for (w, h) in dataset.sizes}
+    for (h, w), b in data.buckets.items():
+        assert b.images.shape[1:] == (h, w)
+        assert b.images.dtype == jnp.uint8
+        assert b.n == len(dataset.sizes[(w, h)])
+        assert b.labels.shape == (b.n, b.seq_len)
+        assert b.seq_len % 8 == 0
+
+
+def test_gather_matches_host_pipeline(dataset):
+    """gather_batch == BatchCollator over the same rows: identical f32 images
+    (1 - u8/255) and identical BOS/seq/EOS/PAD label rows."""
+    (w, h), idxs = sorted(dataset.sizes.items())[0]
+    data = DeviceResidentData.from_dataset(dataset, seq_pad_multiple=8)
+    b = data.buckets[(h, w)]
+
+    take = idxs[:3]
+    rows = [i for i, src in enumerate(idxs) if src in take]
+    imgs, labs = gather_batch(b.images, b.labels, jnp.asarray(rows))
+
+    collate = BatchCollator(999, 998, 997, seq_pad_multiple=8)
+    host_imgs, host_labs = collate([dataset[i] for i in take])
+
+    np.testing.assert_array_equal(np.asarray(imgs), host_imgs)
+    # The bucket pads to the bucket-wide max; the collator to the batch max.
+    L = host_labs.shape[1]
+    np.testing.assert_array_equal(np.asarray(labs)[:, :L], host_labs)
+    assert (np.asarray(labs)[:, L:] == 999).all()
+
+
+def test_scan_step_trains_and_counts(dataset):
+    from texocr_tpu.models import OCRModel
+    from texocr_tpu.training.optimizers import get_optimizer
+    from texocr_tpu.training.train_step import create_train_state
+    from tests.tiny import tiny_model_config
+
+    cfg = tiny_model_config(
+        img_size=(32, 128), vocab_size=1000,
+        trg_pad_idx=999, bos_token=998, eos_token=997, max_length=32,
+    )
+    model = OCRModel(cfg)
+    tx = get_optimizer("Adam", {"lr": 1e-3})
+    data = DeviceResidentData.from_dataset(dataset, seq_pad_multiple=8)
+    b = next(iter(data.buckets.values()))
+
+    imgs, labs = gather_batch(b.images, b.labels, jnp.arange(2))
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), imgs, labs)
+    run = make_scan_train_step(model, tx, batch_size=2)
+
+    state, m1 = run(state, b.images, b.labels, 4)
+    assert int(state.step) == 4
+    state, m2 = run(state, b.images, b.labels, 4)
+    assert int(state.step) == 8
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    assert float(m2["loss"]) < float(m1["loss"])  # memorizing the bucket
+
+
+def test_train_model_device_resident(dataset, tmp_path):
+    """Full loop integration on the fake 8-device mesh: device_data=True
+    trains, logs, checkpoints, and the loss history falls."""
+    from texocr_tpu.training.loop import train_model
+
+    cfg = dict(TINY_CONFIG)
+    cfg.update(
+        img_size=(32, 128), vocab_size=1000,
+        trg_pad_idx=999, bos_token=998, eos_token=997,
+        batch_size=4, n_epochs=2, optimizer="Adam",
+        optimizer_args={"lr": 1e-3, "weight_decay": 0.0},
+        save_checkpoint=True, save_dir=str(tmp_path / "ck"),
+        save_freq=2, val_freq=2, seed=42,
+        mesh={"data": 2, "model": 1}, seq_pad_multiple=8,
+        device_data=True, device_data_steps_per_call=2,
+    )
+    del cfg["max_length"]
+    model, state, history = train_model(dataset, dataset, cfg, verbose=False)
+    assert len(history) == 2
+    assert np.isfinite(history).all()
+    assert history[-1] < history[0]
+    assert (tmp_path / "ck").exists()

@@ -17,6 +17,11 @@ Additional TPU-only keys (all optional, defaulted):
     false for strict parity with that behaviour.
   - ``seq_pad_multiple``: pad label batches up to a multiple of this to bound
     XLA recompilation (1 = reference-exact batch-max padding).
+  - ``device_data``: park the whole dataset on the chip (uint8 buckets),
+    select batches ON DEVICE and run ``device_data_steps_per_call`` optimizer
+    steps per dispatch via lax.scan (training/device_data.py). Removes all
+    per-step host->device traffic; host augmentation is unavailable in this
+    mode.
 """
 
 from __future__ import annotations
@@ -37,6 +42,8 @@ _TPU_DEFAULTS: Dict[str, Any] = {
     "mask_pad_loss": True,
     "seq_pad_multiple": 32,
     "kv_quant": "none",
+    "device_data": False,
+    "device_data_steps_per_call": 16,
 }
 
 

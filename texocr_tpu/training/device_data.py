@@ -1,0 +1,268 @@
+"""Device-resident training data: upload each shape bucket ONCE, select
+batches ON DEVICE, and run many train steps per dispatch with ``lax.scan``.
+
+Why this exists (TPU-first data-path design): the host loop uploads a fresh
+image batch every step and dispatches one XLA execution per step, so its
+throughput floor is set by host->device traffic and per-dispatch latency —
+not by the MXU. The render rule bounds the bucket set (h mult 16, w mult 64;
+reference render_data.py:81-92) and the whole 100k-image reference dataset is
+only ~1.6 GB as uint8, a fraction of one chip's HBM. So the TPU-native layout
+is: park every bucket on the chip as uint8, derive the batch indices inside
+the jitted step from the donated RNG/step counter (zero host inputs per
+step), normalize on device (fused into the encoder by XLA), and amortize
+dispatch latency by scanning ``steps_per_call`` optimizer steps in ONE
+execution. The host's only per-call work is reading two scalars.
+
+Batch selection semantics: each call draws a fresh permutation of the bucket
+(keyed on the entry step counter) and the scanned steps walk it in order —
+without-replacement *within a call* (and exactly one pass over the bucket
+when ``steps_per_call == floor(n / batch)``), reshuffled across calls. The
+host loop (training/loop.py) interleaves buckets call-by-call, mirroring
+BucketBatchSampler's epoch structure (reference dataset.py:281-326) at call
+granularity. Augmentation is host-side PIL work and is therefore not
+available in this mode (augment defaults off in this framework anyway;
+reference applies it everywhere, a documented defect).
+
+The preprocessing here is bit-identical to the host path for grayscale
+sources: ``1 - uint8/255`` in f32 (transforms.to_model_array).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from texocr_tpu.data.dataset import BOS_CHAR, EOS_CHAR, PAD_CHAR, ImageDataset
+from texocr_tpu.models.ocr_model import OCRModel
+from texocr_tpu.training.losses import sequence_ce_loss
+from texocr_tpu.training.train_step import TrainState
+from texocr_tpu.utils import pad_to_multiple
+
+
+class DeviceBucket:
+    """One (h, w) shape bucket resident on device."""
+
+    def __init__(self, images: jax.Array, labels: jax.Array, n: int):
+        self.images = images  # uint8 (N, H, W)
+        self.labels = labels  # int32 (N, L) BOS/seq/EOS/PAD rows
+        self.n = n
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return self.images.shape[1], self.images.shape[2]
+
+    @property
+    def seq_len(self) -> int:
+        return self.labels.shape[1]
+
+
+def _pack_labels(
+    token_ids: List[List[int]],
+    pad: int,
+    bos: int,
+    eos: int,
+    seq_pad_multiple: int,
+    min_len: Optional[int] = None,
+) -> np.ndarray:
+    """Rows of [BOS, seq..., EOS, PAD...] padded to the bucket max (+2),
+    rounded to ``seq_pad_multiple`` — BatchCollator's layout (dataset.py)
+    applied bucket-wide instead of batch-wide, so the compiled length is
+    fixed per bucket."""
+    max_len = max((len(s) for s in token_ids), default=0) + 2
+    if min_len:
+        max_len = max(max_len, min_len)
+    max_len = pad_to_multiple(max_len, seq_pad_multiple)
+    out = np.full((len(token_ids), max_len), pad, dtype=np.int32)
+    for i, s in enumerate(token_ids):
+        out[i, 0] = bos
+        out[i, 1 : len(s) + 1] = s
+        out[i, len(s) + 1] = eos
+    return out
+
+
+class DeviceResidentData:
+    """Per-bucket device arrays built from an :class:`ImageDataset`."""
+
+    def __init__(self, buckets: Dict[Tuple[int, int], DeviceBucket], max_seq_len: int):
+        self.buckets = buckets
+        self.max_seq_len = max_seq_len
+
+    @classmethod
+    def from_dataset(
+        cls,
+        ds: ImageDataset,
+        seq_pad_multiple: int = 1,
+        min_bucket_items: int = 1,
+        device=None,
+        mesh=None,
+    ) -> "DeviceResidentData":
+        """``mesh`` replicates each bucket across the mesh's devices (the
+        dataset is small relative to HBM; replication keeps the on-device
+        gather local — no cross-chip collective per batch). The per-batch
+        'data'-axis sharding happens after the gather (make_scan_train_step),
+        so each chip materializes only its own rows."""
+        if mesh is not None and device is None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            device = NamedSharding(mesh, PartitionSpec())
+        pad = ds.tokenizer.special_tokens[PAD_CHAR]
+        bos = ds.tokenizer.special_tokens[BOS_CHAR]
+        eos = ds.tokenizer.special_tokens[EOS_CHAR]
+        buckets: Dict[Tuple[int, int], DeviceBucket] = {}
+        max_seq = 0
+        for (w, h), idxs in sorted(ds.sizes.items()):
+            if len(idxs) < min_bucket_items:
+                continue
+            imgs = np.stack([ds._load_array(i) for i in idxs])  # (N, H, W) u8
+            labs = _pack_labels(
+                [ds.token_ids[i] for i in idxs], pad, bos, eos, seq_pad_multiple
+            )
+            max_seq = max(max_seq, labs.shape[1])
+            buckets[(h, w)] = DeviceBucket(
+                jax.device_put(jnp.asarray(imgs), device),
+                jax.device_put(jnp.asarray(labs), device),
+                len(idxs),
+            )
+        return cls(buckets, max_seq)
+
+    def plan(self, batch_size: int, steps_cap: int = 32) -> List[Tuple[Tuple[int, int], int]]:
+        """One epoch as a list of (bucket_key, steps) dispatches. Each call
+        scans up to ``steps_cap`` steps; ``sum(steps)`` per bucket is one
+        full without-replacement pass (floor(n / batch), min 1 so small
+        buckets still train — their call samples from a fresh permutation)."""
+        out = []
+        for key, b in self.buckets.items():
+            total = max(b.n // batch_size, 1)
+            while total > 0:
+                take = min(total, steps_cap)
+                out.append((key, take))
+                total -= take
+        return out
+
+
+def gather_batch(
+    images_u8: jax.Array, labels: jax.Array, idx: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """On-device batch materialization: gather rows, then the host collator's
+    arithmetic (transforms.to_model_array): f32 /255, invert, add channel."""
+    imgs = jnp.take(images_u8, idx, axis=0).astype(jnp.float32) / 255.0
+    return (1.0 - imgs)[..., None], jnp.take(labels, idx, axis=0)
+
+
+def make_scan_train_step(
+    model: OCRModel,
+    tx: optax.GradientTransformation,
+    batch_size: int,
+    *,
+    mask_pad: bool = True,
+    mesh=None,
+):
+    """(state, bucket_images, bucket_labels, n_steps) -> (state, metrics).
+
+    Runs ``n_steps`` full optimizer steps in ONE compiled execution. Batch
+    rows come from an on-device permutation keyed on the entry step counter:
+    step s of the call reads rows ``perm[(s*B + j) % n]``. The only host
+    traffic is the two scalar metric means on readback. ``n_steps`` is static
+    (one executable per (bucket-shape, n_steps) pair — the epoch plan uses a
+    fixed cap so this stays bounded).
+    """
+    pad_token = model.config.pad_token
+    batch_spec = None
+    if mesh is not None:
+        from texocr_tpu.parallel.sharding import batch_sharding
+
+        batch_spec = batch_sharding(mesh)
+
+    @partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+    def run(state: TrainState, images_u8, labels_all, n_steps: int):
+        n = images_u8.shape[0]
+        # Selection keys diverge from dropout keys via a tag fold so the two
+        # streams never collide (dropout folds (rng, step) directly).
+        perm_key = jax.random.fold_in(
+            jax.random.fold_in(state.dropout_rng, state.step), 0x5E1EC7
+        )
+        perm = jax.random.permutation(perm_key, n)
+
+        def body(state, s):
+            idx = jnp.take(perm, (s * batch_size + jnp.arange(batch_size)) % n)
+            images, labels = gather_batch(images_u8, labels_all, idx)
+            if batch_spec is not None:
+                images = jax.lax.with_sharding_constraint(images, batch_spec)
+                labels = jax.lax.with_sharding_constraint(labels, batch_spec)
+            step_rng = jax.random.fold_in(state.dropout_rng, state.step)
+
+            def loss_fn(params):
+                logits, shifted = model.apply(
+                    {"params": params},
+                    images,
+                    labels,
+                    deterministic=False,
+                    rngs={"dropout": step_rng},
+                )
+                loss = sequence_ce_loss(
+                    logits, shifted, pad_token=pad_token, mask_pad=mask_pad
+                )
+                acc_mask = (
+                    (shifted != pad_token)
+                    if mask_pad
+                    else jnp.ones_like(shifted, jnp.bool_)
+                )
+                acc = jnp.sum(
+                    (jnp.argmax(logits, -1) == shifted) & acc_mask
+                ) / jnp.maximum(jnp.sum(acc_mask), 1)
+                return loss, acc
+
+            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return (
+                TrainState(
+                    step=state.step + 1,
+                    params=params,
+                    opt_state=opt_state,
+                    dropout_rng=state.dropout_rng,
+                ),
+                (loss, acc),
+            )
+
+        state, (losses, accs) = jax.lax.scan(
+            body, state, jnp.arange(n_steps), length=n_steps
+        )
+        return state, {"loss": jnp.mean(losses), "token_acc": jnp.mean(accs)}
+
+    return run
+
+
+def make_scan_eval_step(model: OCRModel, batch_size: int, *, mask_pad: bool = True):
+    """(params, bucket_images, bucket_labels, n_steps) -> mean loss over
+    ``n_steps`` deterministic batches walking the bucket in storage order."""
+    pad_token = model.config.pad_token
+
+    @partial(jax.jit, static_argnums=(3,))
+    def run(params, images_u8, labels_all, n_steps: int):
+        n = images_u8.shape[0]
+
+        def body(acc, s):
+            idx = (s * batch_size + jnp.arange(batch_size)) % n
+            images, labels = gather_batch(images_u8, labels_all, idx)
+            logits, shifted = model.apply({"params": params}, images, labels)
+            return (
+                acc
+                + sequence_ce_loss(
+                    logits, shifted, pad_token=pad_token, mask_pad=mask_pad
+                ),
+                None,
+            )
+
+        total, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), jnp.arange(n_steps))
+        return total / n_steps
+
+    return run

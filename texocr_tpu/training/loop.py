@@ -102,12 +102,22 @@ def train_model(
         print(f"Devices: {mesh.devices.shape} {mesh.axis_names}")
         print(f"Model has {n_params} parameters.")
 
-    train_step = make_train_step(model, tx, mask_pad=tcfg.mask_pad_loss)
-    eval_step = make_eval_step(model, mask_pad=tcfg.mask_pad_loss)
-
     from texocr_tpu.telemetry import MetricsLogger
 
     logger = MetricsLogger(metrics_path, echo=verbose)
+
+    if config.get("device_data"):
+        # Device-resident mode: the whole dataset lives on the chip; batches
+        # are selected on device and many steps run per dispatch (see
+        # training/device_data.py for the rationale).
+        return _train_device_resident(
+            model, tx, state, train_set, val_set, tcfg, config,
+            mesh=mesh, start_epoch=start_epoch, logger=logger, verbose=verbose,
+        )
+
+    train_step = make_train_step(model, tx, mask_pad=tcfg.mask_pad_loss)
+    eval_step = make_eval_step(model, mask_pad=tcfg.mask_pad_loss)
+
     history = []
     start = time.time()
     # ONE loader for the whole run: its sampler/collator seeds increment per
@@ -163,6 +173,95 @@ def train_model(
                 images, labels = put_batch(mesh, images, labels)
                 val_loss = val_loss + eval_step(state.params, images, labels)
                 n += 1
+            if n:
+                logger.log("val", epoch=epoch + 1, loss=float(val_loss) / n)
+
+    if verbose:
+        print(f"Training took {time.time() - start:.2f} seconds.")
+    logger.close()
+    return model, state, history
+
+
+def _train_device_resident(
+    model, tx, state, train_set, val_set, tcfg, config,
+    *, mesh, start_epoch, logger, verbose,
+):
+    """Epoch loop over on-chip shape buckets (training/device_data.py). One
+    dispatch = up to ``device_data_steps_per_call`` optimizer steps; the host
+    syncs once per epoch on the accumulated metric scalars."""
+    from texocr_tpu.training.device_data import (
+        DeviceResidentData,
+        make_scan_eval_step,
+        make_scan_train_step,
+    )
+
+    seq_pad = config.get("seq_pad_multiple", 1)
+    steps_cap = config.get("device_data_steps_per_call", 16)
+    batch_size = tcfg.batch_size
+    data = DeviceResidentData.from_dataset(
+        train_set, seq_pad_multiple=seq_pad,
+        min_bucket_items=(1 if tcfg.keep_small else batch_size),
+        mesh=mesh,
+    )
+    val_data = (
+        DeviceResidentData.from_dataset(val_set, seq_pad_multiple=seq_pad, mesh=mesh)
+        if val_set is not None
+        else None
+    )
+    if verbose:
+        for key, b in data.buckets.items():
+            print(f"  bucket {key}: {b.n} images, seq_len {b.seq_len}, "
+                  f"{b.images.nbytes / 1e6:.0f} MB on device")
+
+    run_steps = make_scan_train_step(
+        model, tx, batch_size, mask_pad=tcfg.mask_pad_loss, mesh=mesh
+    )
+    eval_steps = make_scan_eval_step(model, batch_size, mask_pad=tcfg.mask_pad_loss)
+
+    history = []
+    start = time.time()
+    plan = data.plan(batch_size, steps_cap=steps_cap)
+    for epoch in range(start_epoch, tcfg.n_epochs):
+        epoch_loss = jnp.zeros((), jnp.float32)
+        epoch_acc = jnp.zeros((), jnp.float32)
+        n_calls, n_steps = 0, 0
+        t0 = time.time()
+        for key, steps in plan:
+            b = data.buckets[key]
+            state, metrics = run_steps(state, b.images, b.labels, steps)
+            epoch_loss = epoch_loss + metrics["loss"] * steps
+            epoch_acc = epoch_acc + metrics["token_acc"] * steps
+            n_calls += 1
+            n_steps += steps
+        mean_loss = float(epoch_loss) / max(n_steps, 1)  # one host sync/epoch
+        dt = time.time() - t0
+        history.append(mean_loss)
+        logger.log(
+            "train_epoch",
+            epoch=epoch + 1,
+            loss=mean_loss,
+            token_acc=float(epoch_acc) / max(n_steps, 1),
+            steps=n_steps,
+            images_per_sec=n_steps * tcfg.batch_size / max(dt, 1e-9),
+            seconds=dt,
+        )
+
+        if tcfg.save_checkpoint and (epoch + 1) % tcfg.save_freq == 0:
+            from texocr_tpu.checkpoint.orbax_io import save_checkpoint
+
+            save_checkpoint(
+                tcfg.save_dir, epoch, state.params, state.opt_state,
+                extra={"step": int(state.step)},
+            )
+
+        if val_data is not None and (epoch + 1) % tcfg.val_freq == 0:
+            val_loss, n = jnp.zeros((), jnp.float32), 0
+            for b in val_data.buckets.values():
+                steps = max(b.n // tcfg.batch_size, 1)
+                val_loss = val_loss + eval_steps(
+                    state.params, b.images, b.labels, steps
+                ) * steps
+                n += steps
             if n:
                 logger.log("val", epoch=epoch + 1, loss=float(val_loss) / n)
 

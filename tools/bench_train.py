@@ -56,6 +56,9 @@ def main():
     p.add_argument("--flash", action="store_true")
     p.add_argument("--sync_every_step", action="store_true",
                    help="replicate the round-1 per-step float() host sync")
+    p.add_argument("--scan", type=int, default=0, metavar="K",
+                   help="device-resident mode: K optimizer steps per dispatch "
+                        "via lax.scan over on-chip data (device_data.py)")
     args = p.parse_args()
 
     dev = jax.devices()[0]
@@ -94,6 +97,55 @@ def main():
         step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state,
         dropout_rng=jax.random.PRNGKey(1),
     )
+    if args.scan:
+        # Device-resident data + K-step scan dispatch: the images live on the
+        # chip as uint8, batches are gathered on device, and each call runs
+        # args.scan optimizer steps (training/device_data.py).
+        from texocr_tpu.training.device_data import make_scan_train_step
+
+        n_pool = max(args.batch * 4, 256)
+        imgs_u8 = jax.device_put(
+            jnp.asarray(
+                rng.integers(0, 255, (n_pool, H, W), dtype=np.uint8)
+            ),
+            dev,
+        )
+        labs_all = jax.device_put(
+            jnp.asarray(
+                np.tile(labels_np, (n_pool // args.batch + 1, 1))[:n_pool]
+            ),
+            dev,
+        )
+        run = make_scan_train_step(model, tx, args.batch)
+        t0 = time.time()
+        state, metrics = run(state, imgs_u8, labs_all, args.scan)
+        first_loss = float(metrics["loss"])
+        log(f"compile + first call: {time.time()-t0:.1f}s loss={first_loss:.3f}")
+        t0 = time.time()
+        calls = max(args.steps // args.scan, 1)
+        for _ in range(calls):
+            state, metrics = run(state, imgs_u8, labs_all, args.scan)
+        final = float(metrics["loss"])
+        dt = time.time() - t0
+        total_steps = calls * args.scan
+        ips = args.batch * total_steps / dt
+        log(f"{calls} calls x {args.scan} steps in {dt:.2f}s loss={final:.3f}")
+        print(
+            json.dumps(
+                {
+                    "metric": "train_step_images_per_sec",
+                    "mode": f"device_resident_scan{args.scan}",
+                    "batch": args.batch,
+                    "canvas": [H, W],
+                    "seq": args.seq,
+                    "flash": args.flash,
+                    "value": round(ips, 1),
+                    "step_ms": round(1000 * dt / total_steps, 1),
+                }
+            )
+        )
+        return
+
     step_fn = make_train_step(model, tx)
 
     t0 = time.time()

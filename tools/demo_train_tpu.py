@@ -38,6 +38,10 @@ def main():
     p.add_argument("--eval_batch_size", type=int, default=None)
     p.add_argument("--keep_small", action="store_true",
                    help="keep partial tail batches (small datasets)")
+    p.add_argument("--device_data", action="store_true",
+                   help="device-resident buckets + on-device batch selection "
+                        "+ multi-step scan dispatch (training/device_data.py)")
+    p.add_argument("--steps_per_call", type=int, default=16)
     args = p.parse_args()
 
     from texocr_tpu.config import ModelConfig
@@ -73,13 +77,15 @@ def main():
         "batch_shuffle": True,
         "id_shuffle": True,
         "dtype": "bfloat16",
-        "use_flash_attention": False,
+        "use_flash_attention": "auto",
         "mesh": {"data": -1},
         "mask_pad_loss": True,
         # Bounded compiled seq lens: labels pad to multiples of this.
         "seq_pad_multiple": args.seq_pad,
         "loss_fn": "CrossEntropyLoss",
         "resume": args.resume,
+        "device_data": args.device_data,
+        "device_data_steps_per_call": args.steps_per_call,
         "encoder": {"n_channels": 1, "embed_dim": 256, "num_layers": 4,
                     "heads": 8},
         "decoder": {"embed_dim": 256, "num_layers": 4, "heads": 8,
