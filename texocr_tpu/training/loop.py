@@ -221,7 +221,15 @@ def _train_device_resident(
     history = []
     start = time.time()
     plan = data.plan(batch_size, steps_cap=steps_cap)
+    import random as _random
+
+    plan_rng = _random.Random(tcfg.seed + start_epoch)
     for epoch in range(start_epoch, tcfg.n_epochs):
+        # Interleave buckets call-by-call (BucketBatchSampler shuffles batch
+        # order across buckets; this is the same idea at dispatch granularity
+        # — pure host-side, no device traffic).
+        if tcfg.batch_shuffle:
+            plan_rng.shuffle(plan)
         epoch_loss = jnp.zeros((), jnp.float32)
         epoch_acc = jnp.zeros((), jnp.float32)
         n_calls, n_steps = 0, 0

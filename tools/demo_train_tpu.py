@@ -42,6 +42,8 @@ def main():
                    help="device-resident buckets + on-device batch selection "
                         "+ multi-step scan dispatch (training/device_data.py)")
     p.add_argument("--steps_per_call", type=int, default=16)
+    p.add_argument("--save_freq", type=int, default=None)
+    p.add_argument("--val_freq", type=int, default=None)
     args = p.parse_args()
 
     from texocr_tpu.config import ModelConfig
@@ -70,8 +72,8 @@ def main():
         "seed": 42,
         "save_checkpoint": True,
         "save_dir": args.save_dir,
-        "save_freq": max(args.epochs // 2, 1),
-        "val_freq": max(args.epochs // 2, 1),
+        "save_freq": args.save_freq or max(args.epochs // 2, 1),
+        "val_freq": args.val_freq or max(args.epochs // 2, 1),
         "drop_last": True,
         "keep_small": args.keep_small,
         "batch_shuffle": True,
