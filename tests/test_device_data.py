@@ -86,6 +86,31 @@ def test_scan_step_trains_and_counts(dataset):
     assert float(m2["loss"]) < float(m1["loss"])  # memorizing the bucket
 
 
+def test_augment_batch_properties():
+    """On-device augmentation: shape/range preserved, background stays 0,
+    deterministic per key, varies across keys and across samples."""
+    from texocr_tpu.training.device_data import augment_batch
+
+    rng = np.random.default_rng(0)
+    imgs = np.zeros((4, 32, 64, 1), np.float32)
+    imgs[:, 10:20, 20:40, 0] = rng.random((4, 10, 20))  # ink blob, 0 margins
+    x = jnp.asarray(imgs)
+
+    a = augment_batch(x, jax.random.PRNGKey(7))
+    b = augment_batch(x, jax.random.PRNGKey(7))
+    c = augment_batch(x, jax.random.PRNGKey(8))
+    assert a.shape == x.shape
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))  # keyed
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+    assert float(a.min()) >= 0.0 and float(a.max()) <= 1.0
+    # Corners stay background (scale >= 0.85, |shift| small).
+    assert float(jnp.abs(a[:, :2, :2]).max()) == 0.0
+    # Two samples get different transforms of the same content.
+    x_same = jnp.broadcast_to(x[:1], x.shape)
+    d = np.asarray(augment_batch(x_same, jax.random.PRNGKey(9)))
+    assert not np.array_equal(d[0], d[1])
+
+
 def test_selection_varies_across_calls(dataset):
     """The on-device permutation is keyed on the entry step counter, so two
     consecutive calls must see different batch compositions (same-key calls

@@ -44,6 +44,10 @@ _TPU_DEFAULTS: Dict[str, Any] = {
     "kv_quant": "none",
     "device_data": False,
     "device_data_steps_per_call": 16,
+    # On-device train-time augmentation (scale/translate/brightness inside
+    # the scan step — device_data.augment_batch); replaces the host PIL
+    # affine aug, which can't run in device_data mode.
+    "device_data_augment": False,
 }
 
 

@@ -155,6 +155,33 @@ def gather_batch(
     return (1.0 - imgs)[..., None], jnp.take(labels, idx, axis=0)
 
 
+def augment_batch(images: jax.Array, key: jax.Array) -> jax.Array:
+    """On-device train-time augmentation — the TPU-native stand-in for the
+    host PIL RandomAffine (transforms.affine_scale_aug; reference
+    dataset.py:365-371): per-sample random scale 0.85-1.05 about the center
+    (the reference's range) plus a small random translation and brightness
+    jitter. Runs in ink space (0 = background) AFTER inversion, so
+    out-of-bounds resample fills with 0 = white background — the same fill
+    the reference uses pre-inversion. A few fused elementwise/resample ops
+    per step; XLA overlaps them with the encoder."""
+    b, h, w, _ = images.shape
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    scale = jax.random.uniform(k1, (b,), minval=0.85, maxval=1.05)
+    dy = jax.random.uniform(k2, (b,), minval=-3.0, maxval=3.0)
+    dx = jax.random.uniform(k3, (b,), minval=-8.0, maxval=8.0)
+
+    def one(img, s, ty, tx):
+        # scale about the image center, then shift by (ty, tx)
+        trans = jnp.stack([(1.0 - s) * h * 0.5 + ty, (1.0 - s) * w * 0.5 + tx])
+        return jax.image.scale_and_translate(
+            img, (h, w, 1), (0, 1), jnp.stack([s, s]), trans, method="linear"
+        )
+
+    out = jax.vmap(one)(images, scale, dy, dx)
+    bright = jax.random.uniform(k4, (b, 1, 1, 1), minval=0.9, maxval=1.1)
+    return jnp.clip(out * bright, 0.0, 1.0)
+
+
 def make_scan_train_step(
     model: OCRModel,
     tx: optax.GradientTransformation,
@@ -162,6 +189,7 @@ def make_scan_train_step(
     *,
     mask_pad: bool = True,
     mesh=None,
+    augment: bool = False,
 ):
     """(state, bucket_images, bucket_labels, n_steps) -> (state, metrics).
 
@@ -196,6 +224,9 @@ def make_scan_train_step(
                 images = jax.lax.with_sharding_constraint(images, batch_spec)
                 labels = jax.lax.with_sharding_constraint(labels, batch_spec)
             step_rng = jax.random.fold_in(state.dropout_rng, state.step)
+            if augment:
+                aug_key = jax.random.fold_in(step_rng, 0xA06)
+                images = augment_batch(images, aug_key)
 
             def loss_fn(params):
                 logits, shifted = model.apply(

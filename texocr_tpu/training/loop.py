@@ -214,7 +214,8 @@ def _train_device_resident(
                   f"{b.images.nbytes / 1e6:.0f} MB on device")
 
     run_steps = make_scan_train_step(
-        model, tx, batch_size, mask_pad=tcfg.mask_pad_loss, mesh=mesh
+        model, tx, batch_size, mask_pad=tcfg.mask_pad_loss, mesh=mesh,
+        augment=bool(config.get("device_data_augment")),
     )
     eval_steps = make_scan_eval_step(model, batch_size, mask_pad=tcfg.mask_pad_loss)
 

@@ -44,6 +44,10 @@ def main():
     p.add_argument("--steps_per_call", type=int, default=16)
     p.add_argument("--save_freq", type=int, default=None)
     p.add_argument("--val_freq", type=int, default=None)
+    p.add_argument("--augment", action="store_true",
+                   help="on-device scale/translate/brightness augmentation "
+                        "(device_data mode)")
+    p.add_argument("--wd", type=float, default=0.0, help="Adam weight decay")
     args = p.parse_args()
 
     from texocr_tpu.config import ModelConfig
@@ -68,7 +72,7 @@ def main():
         "batch_size": args.batch_size,
         "n_epochs": args.epochs,
         "optimizer": "Adam",
-        "optimizer_args": {"lr": args.lr, "weight_decay": 0.0},
+        "optimizer_args": {"lr": args.lr, "weight_decay": args.wd},
         "seed": 42,
         "save_checkpoint": True,
         "save_dir": args.save_dir,
@@ -88,6 +92,7 @@ def main():
         "resume": args.resume,
         "device_data": args.device_data,
         "device_data_steps_per_call": args.steps_per_call,
+        "device_data_augment": args.augment,
         "encoder": {"n_channels": 1, "embed_dim": 256, "num_layers": 4,
                     "heads": 8},
         "decoder": {"embed_dim": 256, "num_layers": 4, "heads": 8,
