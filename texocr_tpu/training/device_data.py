@@ -101,6 +101,7 @@ class DeviceResidentData:
         min_bucket_items: int = 1,
         device=None,
         mesh=None,
+        max_canvas: Optional[Tuple[int, int]] = None,
     ) -> "DeviceResidentData":
         """``mesh`` replicates each bucket across the mesh's devices (the
         dataset is small relative to HBM; replication keeps the on-device
@@ -118,6 +119,10 @@ class DeviceResidentData:
         max_seq = 0
         for (w, h), idxs in sorted(ds.sizes.items()):
             if len(idxs) < min_bucket_items:
+                continue
+            # Curriculum / memory knob: restrict to buckets within a canvas
+            # bound, e.g. (32, 640) trains the single-line stage first.
+            if max_canvas is not None and (h > max_canvas[0] or w > max_canvas[1]):
                 continue
             imgs = np.stack([ds._load_array(i) for i in idxs])  # (N, H, W) u8
             labs = _pack_labels(

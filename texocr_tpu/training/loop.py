@@ -202,6 +202,7 @@ def _train_device_resident(
         train_set, seq_pad_multiple=seq_pad,
         min_bucket_items=(1 if tcfg.keep_small else batch_size),
         mesh=mesh,
+        max_canvas=config.get("device_data_max_canvas"),
     )
     val_data = (
         DeviceResidentData.from_dataset(val_set, seq_pad_multiple=seq_pad, mesh=mesh)

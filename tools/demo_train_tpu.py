@@ -48,6 +48,9 @@ def main():
                    help="on-device scale/translate/brightness augmentation "
                         "(device_data mode)")
     p.add_argument("--wd", type=float, default=0.0, help="Adam weight decay")
+    p.add_argument("--max_canvas", type=int, nargs=2, default=None,
+                   metavar=("H", "W"),
+                   help="curriculum: train only on buckets within (H, W)")
     args = p.parse_args()
 
     from texocr_tpu.config import ModelConfig
@@ -93,6 +96,9 @@ def main():
         "device_data": args.device_data,
         "device_data_steps_per_call": args.steps_per_call,
         "device_data_augment": args.augment,
+        "device_data_max_canvas": (
+            tuple(args.max_canvas) if args.max_canvas else None
+        ),
         "encoder": {"n_channels": 1, "embed_dim": 256, "num_layers": 4,
                     "heads": 8},
         "decoder": {"embed_dim": 256, "num_layers": 4, "heads": 8,
