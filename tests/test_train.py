@@ -121,3 +121,34 @@ def test_unmasked_parity_loss_mode():
     )
     _, m2 = unmasked(state2, images, labels)
     assert not np.isclose(float(m1["loss"]), float(m2["loss"]))
+
+
+def test_lr_schedule_warmup_cosine():
+    """lr_schedule in optimizer_args produces warmup->peak->decay updates.
+
+    The reference trains at a constant Adam lr (train.py:54, config.yml:26-29);
+    the schedule is additive capability, so it must be explicitly opted into.
+    """
+    import optax
+
+    tx = get_optimizer(
+        "Adam",
+        {"lr": 1e-3, "lr_schedule": {"warmup_steps": 4, "decay_steps": 16}},
+    )
+    params = {"w": jnp.ones((4,))}
+    opt_state = tx.init(params)
+    grads = {"w": jnp.ones((4,))}
+    # With constant unit gradients, Adam's normalized update magnitude tracks
+    # the schedule: tiny at step 0, maximal at the end of warmup, decayed at
+    # the cosine horizon.
+    mags = []
+    for _ in range(20):
+        updates, opt_state = tx.update(grads, opt_state, params)
+        mags.append(float(jnp.abs(updates["w"]).max()))
+    assert mags[0] < 0.3 * max(mags)          # warmup starts near zero
+    assert max(mags) == pytest.approx(mags[4], rel=1e-3)  # peak at warmup end
+    assert mags[-1] < 0.2 * max(mags)         # cosine decays toward zero
+    # Constant-lr path unchanged.
+    tx_const = get_optimizer("Adam", {"lr": 1e-3})
+    u, _ = tx_const.update(grads, tx_const.init(params), params)
+    assert float(jnp.abs(u["w"]).max()) == pytest.approx(1e-3, rel=1e-3)

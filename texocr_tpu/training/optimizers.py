@@ -11,9 +11,24 @@ def get_optimizer(name: str, args: dict) -> optax.GradientTransformation:
 
     torch Adam's weight_decay is L2 added to the gradient pre-moment
     (coupled); optax.add_decayed_weights before adam reproduces that.
+
+    ``lr_schedule``: optional dict ``{"warmup_steps": W, "decay_steps": D,
+    "end_value": E}`` turning the scalar ``lr`` into a linear-warmup +
+    cosine-decay schedule peaking at ``lr`` (held at E past W+D). The
+    reference has no schedule (constant Adam, train.py:54/config.yml:26-29);
+    this is the standard transformer-training knob it lacks.
     """
     args = dict(args)
     lr = args.pop("lr", 1e-3)
+    sched = args.pop("lr_schedule", None)
+    if sched:
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=lr,
+            warmup_steps=int(sched.get("warmup_steps", 0)),
+            decay_steps=int(sched["decay_steps"]),
+            end_value=float(sched.get("end_value", 0.0)),
+        )
     weight_decay = args.pop("weight_decay", 0.0)
     betas = args.pop("betas", (0.9, 0.999))
     eps = args.pop("eps", 1e-8)
@@ -24,7 +39,7 @@ def get_optimizer(name: str, args: dict) -> optax.GradientTransformation:
         chain = [core]
         if weight_decay:
             chain.insert(0, optax.add_decayed_weights(weight_decay))
-        chain.append(optax.scale(-lr))
+        chain.append(optax.scale_by_learning_rate(lr))
         return optax.chain(*chain)
     if name == "adamw":
         return optax.adamw(

@@ -48,6 +48,10 @@ def main():
                    help="on-device scale/translate/brightness augmentation "
                         "(device_data mode)")
     p.add_argument("--wd", type=float, default=0.0, help="Adam weight decay")
+    p.add_argument("--warmup_steps", type=int, default=0,
+                   help="linear lr warmup steps (with --decay_steps)")
+    p.add_argument("--decay_steps", type=int, default=0,
+                   help="cosine decay horizon in steps; 0 = constant lr")
     p.add_argument("--max_canvas", type=int, nargs=2, default=None,
                    metavar=("H", "W"),
                    help="curriculum: train only on buckets within (H, W)")
@@ -75,7 +79,16 @@ def main():
         "batch_size": args.batch_size,
         "n_epochs": args.epochs,
         "optimizer": "Adam",
-        "optimizer_args": {"lr": args.lr, "weight_decay": args.wd},
+        "optimizer_args": {
+            "lr": args.lr,
+            "weight_decay": args.wd,
+            **(
+                {"lr_schedule": {"warmup_steps": args.warmup_steps,
+                                 "decay_steps": args.decay_steps}}
+                if args.decay_steps
+                else {}
+            ),
+        },
         "seed": 42,
         "save_checkpoint": True,
         "save_dir": args.save_dir,

@@ -139,16 +139,18 @@ def render_realistic(eq: str, rng):
     return canvas
 
 
-def realistic_equation(rng):
+def realistic_equation(rng, term_scale=1):
     """Mixture of lengths: ~30% short, ~40% medium, ~30% long (the long tail
-    is what pushes BPE labels into the 100-300 token range)."""
+    is what pushes BPE labels into the 100-300 token range). ``term_scale``
+    compensates for flat atoms compressing ~4x better under BPE than nested
+    terms (entropic mode below), keeping label lengths in the same band."""
     r = rng.random()
     if r < 0.3:
-        n_terms = int(rng.integers(2, 7))
+        n_terms = int(rng.integers(2, 7)) * term_scale
     elif r < 0.7:
-        n_terms = int(rng.integers(8, 20))
+        n_terms = int(rng.integers(8, 20)) * term_scale
     else:  # ~12 BPE tokens/term -> the 100-300-token long tail
-        n_terms = int(rng.integers(20, 29))
+        n_terms = int(rng.integers(20, 29)) * term_scale
     parts = [random_term(rng)]
     for _ in range(n_terms - 1):
         parts.append(rng.choice(OPS))
@@ -166,14 +168,22 @@ def main():
     p.add_argument("--realistic", action="store_true",
                    help="reference difficulty profile: long labels (100-300 "
                         "BPE tokens), buckets up to the (160, 1008) canvas")
+    p.add_argument("--entropic", action="store_true",
+                   help="grounding curriculum stage (RESULTS.md diagnosis): "
+                        "realistic lengths/canvases/wrapping but near-uniform "
+                        "flat atom sampling, so the LM floor sits near the "
+                        "vocabulary entropy and loss can only drop by reading "
+                        "glyphs")
     args = p.parse_args()
 
     rng = np.random.default_rng(args.seed)
     global random_term
-    if args.simple:  # flat atoms only: every token must be read off the image
-        orig_term = random_term
+    if args.simple or args.entropic:
+        # flat atoms only: every token must be read off the image
         random_term = lambda rng, depth=0: random_atom(rng)
-    if args.realistic:
+    if args.entropic:
+        eqs = [realistic_equation(rng, term_scale=3) for _ in range(args.n)]
+    elif args.realistic:
         eqs = [realistic_equation(rng) for _ in range(args.n)]
     else:
         eqs = [random_equation(rng, max_terms=3 if args.simple else 5)
@@ -183,7 +193,9 @@ def main():
         "test": eqs[int(args.n * 0.8) : int(args.n * 0.95)],
         "val": eqs[int(args.n * 0.95) :],
     }
-    render_fn = render_realistic if args.realistic else render
+    render_fn = (
+        render_realistic if (args.realistic or args.entropic) else render
+    )
     for split, labels in splits.items():
         root = os.path.join(args.out, split)
         os.makedirs(os.path.join(root, "images"), exist_ok=True)
