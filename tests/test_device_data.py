@@ -184,3 +184,39 @@ def test_train_model_device_resident(dataset, tmp_path):
     assert np.isfinite(history).all()
     assert history[-1] < history[0]
     assert (tmp_path / "ck").exists()
+
+
+def test_scan_step_dynamic_n_steps_one_executable(dataset):
+    """n_steps is a dynamic scalar: different chunk sizes (full cap and
+    remainder) reuse ONE compiled executable per bucket shape, and the
+    pass-through branch leaves the skipped iterations out of both the step
+    counter and the metric means."""
+    from texocr_tpu.models import OCRModel
+    from texocr_tpu.training.optimizers import get_optimizer
+    from texocr_tpu.training.train_step import create_train_state
+    from tests.tiny import tiny_model_config
+
+    cfg = tiny_model_config(
+        img_size=(32, 128), vocab_size=1000,
+        trg_pad_idx=999, bos_token=998, eos_token=997, max_length=32,
+    )
+    model = OCRModel(cfg)
+    tx = get_optimizer("Adam", {"lr": 1e-3})
+    data = DeviceResidentData.from_dataset(dataset, seq_pad_multiple=8)
+    b = next(iter(data.buckets.values()))
+    imgs, labs = gather_batch(b.images, b.labels, jnp.arange(2))
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), imgs, labs)
+    run = make_scan_train_step(model, tx, batch_size=2, steps_cap=8)
+
+    state, m1 = run(state, b.images, b.labels, 3)
+    assert int(state.step) == 3
+    state, m2 = run(state, b.images, b.labels, 8)
+    assert int(state.step) == 11
+    state, m3 = run(state, b.images, b.labels, 5)
+    assert int(state.step) == 16
+    for m in (m1, m2, m3):
+        assert np.isfinite(float(m["loss"]))
+        assert 0.0 <= float(m["token_acc"]) <= 1.0
+    # One executable across the 3/8/5-step calls (the loop always passes
+    # plain ints; a strongly-typed jnp scalar would add a second entry).
+    assert run._cache_size() == 1

@@ -179,3 +179,60 @@ def test_patch_embedding_encoder_variant():
     assert enc.shape == (2, 2 * 4 + 1, 32)  # (B, h*w + CLS, D)
     assert "patch_embed" in params["params"]["encoder"]
     assert "backbone" not in params["params"]["encoder"]
+
+
+def test_warm_start_params_shape_adaptation():
+    """warm_start_params: equal shapes copied, one-axis mismatch spliced
+    (the decoder positional table across dataset max_length changes), other
+    mismatches keep the target init."""
+    from texocr_tpu.checkpoint.orbax_io import warm_start_params
+
+    restored = {
+        "same": np.full((3, 4), 7.0, np.float32),
+        "pos": np.arange(12, dtype=np.float32).reshape(6, 2),   # 6 rows
+        "other": np.ones((2, 2), np.float32),
+    }
+    target = {
+        "same": jnp.zeros((3, 4), jnp.bfloat16),
+        "pos": jnp.full((9, 2), -1.0, jnp.float32),             # grown to 9
+        "other": jnp.zeros((3, 3, 3), jnp.float32),             # ndim mismatch
+    }
+    out = warm_start_params(restored, target)
+    assert out["same"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(out["same"], np.float32), 7.0)
+    np.testing.assert_array_equal(
+        np.asarray(out["pos"][:6]), restored["pos"]
+    )
+    np.testing.assert_array_equal(np.asarray(out["pos"][6:]), -1.0)
+    np.testing.assert_array_equal(np.asarray(out["other"]), 0.0)
+    # Shrink direction: restored longer than target.
+    out2 = warm_start_params(
+        {"pos": np.arange(20, dtype=np.float32).reshape(10, 2)},
+        {"pos": jnp.zeros((4, 2), jnp.float32)},
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out2["pos"]), np.arange(8, dtype=np.float32).reshape(4, 2)
+    )
+
+
+def test_train_loop_warm_start(dataset, tmp_path):
+    """init_from warm-starts a new run's params from a prior checkpoint."""
+    from texocr_tpu.checkpoint.orbax_io import latest_checkpoint, load_checkpoint
+    from texocr_tpu.training.loop import train_model
+
+    config = _train_config(tmp_path)
+    train_model(dataset, None, config, verbose=False)
+    ckpt = latest_checkpoint(config["save_dir"])
+
+    config2 = _train_config(tmp_path)
+    config2["save_dir"] = str(tmp_path / "ckpts2")
+    config2["init_from"] = ckpt
+    config2["n_epochs"] = 1
+    model2, state2, hist2 = train_model(dataset, None, config2, verbose=False)
+    # Stage-2 epoch-1 loss starts well below a cold run's first epoch
+    # (params carried over), and training still progresses.
+    config3 = _train_config(tmp_path)
+    config3["save_dir"] = str(tmp_path / "ckpts3")
+    config3["n_epochs"] = 1
+    _, _, hist3 = train_model(dataset, None, config3, verbose=False)
+    assert hist2[0] < hist3[0]

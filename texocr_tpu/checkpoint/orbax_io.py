@@ -49,3 +49,43 @@ def latest_checkpoint(save_dir: str) -> Optional[str]:
             if epoch > best_epoch:
                 best, best_epoch = os.path.join(save_dir, name), epoch
     return best
+
+
+def warm_start_params(restored, target):
+    """Adapt ``restored`` params onto the ``target`` pytree for fine-tuning.
+
+    Leaves with matching shapes are taken from ``restored`` (cast to the
+    target dtype). A leaf whose shape differs along exactly one axis — in
+    practice the decoder's positional table, whose row count follows the
+    dataset's max_length — keeps the target's initialization and has the
+    overlapping slice overwritten by the restored values, mirroring the
+    reference wrapper's pos-embed length adaptation (ocr_model.py:84-88) but
+    in the grow direction too. Any other mismatch keeps the target leaf.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    def place(arr, t):
+        arr = jnp.asarray(arr, dtype=t.dtype)
+        sharding = getattr(t, "sharding", None)
+        return jax.device_put(arr, sharding) if sharding is not None else arr
+
+    def adapt(r, t):
+        r = np.asarray(r)
+        tshape = t.shape
+        if r.shape == tshape:
+            return place(r, t)
+        diff = [i for i in range(r.ndim) if r.ndim == len(tshape)
+                and r.shape[i] != tshape[i]]
+        if r.ndim == len(tshape) and len(diff) == 1:
+            axis = diff[0]
+            n = min(r.shape[axis], tshape[axis])
+            out = np.array(t)
+            sl = tuple(slice(None) if i != axis else slice(0, n)
+                       for i in range(r.ndim))
+            out[sl] = r[sl]
+            return place(out, t)
+        return t
+
+    return jax.tree.map(adapt, restored, target)

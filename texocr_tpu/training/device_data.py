@@ -195,15 +195,20 @@ def make_scan_train_step(
     mask_pad: bool = True,
     mesh=None,
     augment: bool = False,
+    steps_cap: int = 16,
 ):
     """(state, bucket_images, bucket_labels, n_steps) -> (state, metrics).
 
     Runs ``n_steps`` full optimizer steps in ONE compiled execution. Batch
     rows come from an on-device permutation keyed on the entry step counter:
     step s of the call reads rows ``perm[(s*B + j) % n]``. The only host
-    traffic is the two scalar metric means on readback. ``n_steps`` is static
-    (one executable per (bucket-shape, n_steps) pair — the epoch plan uses a
-    fixed cap so this stays bounded).
+    traffic is the two scalar metric means on readback. The scan length is
+    the static ``steps_cap``; ``n_steps <= steps_cap`` is a DYNAMIC scalar —
+    trailing iterations fall into a ``lax.cond`` pass-through branch (state
+    unchanged, no fwd/bwd executed on TPU), so there is exactly ONE
+    executable per bucket shape instead of one per (shape, n_steps) pair.
+    At the full-canvas regime each extra executable costs minutes of XLA
+    compile; remainder chunks made that a per-config tax.
     """
     pad_token = model.config.pad_token
     batch_spec = None
@@ -212,8 +217,8 @@ def make_scan_train_step(
 
         batch_spec = batch_sharding(mesh)
 
-    @partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
-    def run(state: TrainState, images_u8, labels_all, n_steps: int):
+    @partial(jax.jit, donate_argnums=(0,))
+    def run(state: TrainState, images_u8, labels_all, n_steps):
         n = images_u8.shape[0]
         # Selection keys diverge from dropout keys via a tag fold so the two
         # streams never collide (dropout folds (rng, step) directly).
@@ -222,7 +227,7 @@ def make_scan_train_step(
         )
         perm = jax.random.permutation(perm_key, n)
 
-        def body(state, s):
+        def do_step(state, s):
             idx = jnp.take(perm, (s * batch_size + jnp.arange(batch_size)) % n)
             images, labels = gather_batch(images_u8, labels_all, idx)
             if batch_spec is not None:
@@ -266,39 +271,64 @@ def make_scan_train_step(
                     opt_state=opt_state,
                     dropout_rng=state.dropout_rng,
                 ),
-                (loss, acc),
+                (loss, acc, jnp.float32(1)),
             )
 
-        state, (losses, accs) = jax.lax.scan(
-            body, state, jnp.arange(n_steps), length=n_steps
+        def body(state, s):
+            return jax.lax.cond(
+                s < n_steps,
+                do_step,
+                lambda state, s: (state, (jnp.float32(0), jnp.float32(0),
+                                          jnp.float32(0))),
+                state,
+                s,
+            )
+
+        state, (losses, accs, took) = jax.lax.scan(
+            body, state, jnp.arange(steps_cap), length=steps_cap
         )
-        return state, {"loss": jnp.mean(losses), "token_acc": jnp.mean(accs)}
+        denom = jnp.maximum(jnp.sum(took), 1.0)
+        return state, {
+            "loss": jnp.sum(losses) / denom,
+            "token_acc": jnp.sum(accs) / denom,
+        }
 
     return run
 
 
-def make_scan_eval_step(model: OCRModel, batch_size: int, *, mask_pad: bool = True):
-    """(params, bucket_images, bucket_labels, n_steps) -> mean loss over
-    ``n_steps`` deterministic batches walking the bucket in storage order."""
+def make_scan_eval_step(
+    model: OCRModel, batch_size: int, *, mask_pad: bool = True,
+    steps_cap: int = 16,
+):
+    """(params, bucket_images, bucket_labels, n_steps, start) -> mean loss
+    over ``n_steps`` deterministic batches walking the bucket in storage
+    order from batch offset ``start``. Like the train step, the scan length
+    is the static ``steps_cap`` and ``n_steps``/``start`` are dynamic, so
+    each bucket shape compiles once; callers chunk a full pass into
+    ``ceil(total / steps_cap)`` calls."""
     pad_token = model.config.pad_token
 
-    @partial(jax.jit, static_argnums=(3,))
-    def run(params, images_u8, labels_all, n_steps: int):
+    @jax.jit
+    def run(params, images_u8, labels_all, n_steps, start):
         n = images_u8.shape[0]
 
-        def body(acc, s):
-            idx = (s * batch_size + jnp.arange(batch_size)) % n
+        def do_batch(acc, s):
+            idx = ((start + s) * batch_size + jnp.arange(batch_size)) % n
             images, labels = gather_batch(images_u8, labels_all, idx)
             logits, shifted = model.apply({"params": params}, images, labels)
+            return acc + sequence_ce_loss(
+                logits, shifted, pad_token=pad_token, mask_pad=mask_pad
+            )
+
+        def body(acc, s):
             return (
-                acc
-                + sequence_ce_loss(
-                    logits, shifted, pad_token=pad_token, mask_pad=mask_pad
-                ),
+                jax.lax.cond(s < n_steps, do_batch, lambda acc, s: acc, acc, s),
                 None,
             )
 
-        total, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), jnp.arange(n_steps))
-        return total / n_steps
+        total, _ = jax.lax.scan(
+            body, jnp.zeros((), jnp.float32), jnp.arange(steps_cap)
+        )
+        return total / jnp.maximum(n_steps, 1)
 
     return run

@@ -67,6 +67,28 @@ def train_model(
         mesh=mesh,
     )
 
+    # Warm start (curriculum/fine-tune): load only params from a prior run's
+    # checkpoint — fresh optimizer state, epoch 0. Shape-adapting, so a stage
+    # trained at a shorter dataset max_length transfers onto a longer
+    # positional table (overlap copied, tail keeps fresh init).
+    if config.get("init_from"):
+        from texocr_tpu.checkpoint.orbax_io import (
+            latest_checkpoint,
+            load_checkpoint,
+            warm_start_params,
+        )
+
+        path = config["init_from"]
+        resolved = latest_checkpoint(path)
+        if resolved:  # a save_dir was given; pick its newest checkpoint
+            path = resolved
+        restored = load_checkpoint(path)
+        state = state.replace(
+            params=warm_start_params(restored["params"], state.params)
+        )
+        if verbose:
+            print(f"Warm-started params from {path}.")
+
     # Resume from the latest checkpoint (process-restart recovery; the
     # reference can only restart from scratch or hand-load a .pth). The step
     # counter is restored too, so the fold_in(dropout_rng, step) mask sequence
@@ -217,8 +239,11 @@ def _train_device_resident(
     run_steps = make_scan_train_step(
         model, tx, batch_size, mask_pad=tcfg.mask_pad_loss, mesh=mesh,
         augment=bool(config.get("device_data_augment")),
+        steps_cap=steps_cap,
     )
-    eval_steps = make_scan_eval_step(model, batch_size, mask_pad=tcfg.mask_pad_loss)
+    eval_steps = make_scan_eval_step(
+        model, batch_size, mask_pad=tcfg.mask_pad_loss, steps_cap=steps_cap
+    )
 
     history = []
     start = time.time()
@@ -267,11 +292,15 @@ def _train_device_resident(
         if val_data is not None and (epoch + 1) % tcfg.val_freq == 0:
             val_loss, n = jnp.zeros((), jnp.float32), 0
             for b in val_data.buckets.values():
-                steps = max(b.n // tcfg.batch_size, 1)
-                val_loss = val_loss + eval_steps(
-                    state.params, b.images, b.labels, steps
-                ) * steps
-                n += steps
+                total, off = max(b.n // tcfg.batch_size, 1), 0
+                while total > 0:
+                    take = min(total, steps_cap)
+                    val_loss = val_loss + eval_steps(
+                        state.params, b.images, b.labels, take, off
+                    ) * take
+                    total -= take
+                    off += take
+                    n += take
             if n:
                 logger.log("val", epoch=epoch + 1, loss=float(val_loss) / n)
 

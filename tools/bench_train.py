@@ -116,7 +116,7 @@ def main():
             ),
             dev,
         )
-        run = make_scan_train_step(model, tx, args.batch)
+        run = make_scan_train_step(model, tx, args.batch, steps_cap=args.scan)
         t0 = time.time()
         state, metrics = run(state, imgs_u8, labs_all, args.scan)
         first_loss = float(metrics["loss"])

@@ -31,6 +31,9 @@ def main():
     p.add_argument("--save_dir", type=str, default="/tmp/demo_ckpts")
     p.add_argument("--eval_batches", type=int, default=4)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--init_from", type=str, default=None,
+                   help="warm-start params from a checkpoint (or save_dir); "
+                        "fresh optimizer state — the curriculum anneal knob")
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--seq_pad", type=int, default=128,
                    help="labels pad to a multiple of this (compile-cache knob)")
@@ -106,6 +109,7 @@ def main():
         "seq_pad_multiple": args.seq_pad,
         "loss_fn": "CrossEntropyLoss",
         "resume": args.resume,
+        "init_from": args.init_from,
         "device_data": args.device_data,
         "device_data_steps_per_call": args.steps_per_call,
         "device_data_augment": args.augment,
