@@ -13,7 +13,11 @@ import jax
 import jax.numpy as jnp
 
 from texocr_tpu.data.dataset import ImageDataset, create_dataloader
-from texocr_tpu.evaluation.metrics import batch_acc, exact_match_rate
+from texocr_tpu.evaluation.metrics import (
+    batch_acc,
+    edit_similarity,
+    exact_match_rate,
+)
 from texocr_tpu.models import OCRModel
 from texocr_tpu.models.generate import greedy_decode
 
@@ -62,7 +66,7 @@ def test_model(
             decode_cache[key] = fn
         return decode_cache[key](params, images)
 
-    accs, ems, n = [], [], 0
+    accs, ems, sims, n = [], [], [], 0
     for images, labels in create_dataloader(test_set, config):
         pred = decode(jnp.asarray(images))
         # Targets exclude the leading BOS (generate returns the suffix only,
@@ -70,9 +74,11 @@ def test_model(
         target = jnp.asarray(labels[:, 1:])
         accs.append(float(batch_acc(pred, target, cfg.pad_token)))
         ems.append(float(exact_match_rate(pred, target, cfg.pad_token)))
+        sims.append(edit_similarity(pred, target, cfg.pad_token))
         n += 1
         if verbose:
-            print(f"batch {n}: token_acc {accs[-1]:.3f}  exact {ems[-1]:.3f}")
+            print(f"batch {n}: token_acc {accs[-1]:.3f}  exact {ems[-1]:.3f}"
+                  f"  edit_sim {sims[-1]:.3f}")
             row = np.asarray(pred[0])
             ids = [int(t) for t in row if t not in (cfg.pad_token,)]
             print("  pred:", test_set.tokenizer.decode(ids))
@@ -84,11 +90,13 @@ def test_model(
     out = {
         "token_acc": float(np.mean(accs)) if accs else 0.0,
         "exact_match": float(np.mean(ems)) if ems else 0.0,
+        "edit_similarity": float(np.mean(sims)) if sims else 0.0,
         "batches": n,
     }
     if verbose:
         print(f"Test accuracy: {out['token_acc']:.4f}  "
-              f"exact match: {out['exact_match']:.4f}")
+              f"exact match: {out['exact_match']:.4f}  "
+              f"edit similarity: {out['edit_similarity']:.4f}")
     return out
 
 

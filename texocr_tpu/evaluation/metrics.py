@@ -38,3 +38,38 @@ def exact_match_rate(
     mask = (pred != pad_token) | (target != pad_token)
     row_ok = jnp.all((pred == target) | ~mask, axis=1)
     return jnp.mean(row_ok.astype(jnp.float32))
+
+
+def edit_similarity(pred, target, pad_token: int) -> float:
+    """Mean normalized edit similarity: 1 - levenshtein(pred_row, target_row)
+    / max(len_pred, len_target), averaged over rows (host-side numpy; runs on
+    already-decoded id sequences, not on device).
+
+    Why it exists: the reference's batch_acc (eval/eval.py:3-33) is
+    position-aligned, so one inserted or dropped token zeroes the rest of a
+    long row — free-running decodes that read 90%+ of the glyphs can score
+    near 0. Edit similarity is alignment-robust and complements exact-match.
+    Not a reference metric; reported alongside, never instead.
+    """
+    import numpy as np
+
+    pred = np.asarray(pred)
+    target = np.asarray(target)
+    sims = []
+    for p_row, t_row in zip(pred, target):
+        p = [int(t) for t in p_row if t != pad_token]
+        t = [int(x) for x in t_row if x != pad_token]
+        if not p and not t:
+            sims.append(1.0)
+            continue
+        # Single-row Levenshtein, two-row DP.
+        prev = list(range(len(t) + 1))
+        for i, a in enumerate(p, 1):
+            cur = [i] + [0] * len(t)
+            for j, b in enumerate(t, 1):
+                cur[j] = min(
+                    prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (a != b)
+                )
+            prev = cur
+        sims.append(1.0 - prev[-1] / max(len(p), len(t)))
+    return float(np.mean(sims)) if sims else 0.0
