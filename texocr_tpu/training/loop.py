@@ -55,9 +55,21 @@ def train_model(
     mesh = create_mesh(config.get("mesh"))
     tx = get_optimizer(tcfg.optimizer, tcfg.optimizer_args)
 
-    # Sample batch (smallest bucket) for shape-driven init.
-    loader = create_dataloader(train_set, config)
-    sample_images, sample_labels = next(iter(loader))
+    # Init from a synthetic batch on the SMALLEST canvas at the shortest
+    # padded label length: params are shape-independent of the sample, and
+    # the loader's first batch is shuffled — at full-canvas configs it can
+    # pull the largest bucket and spend minutes compiling an init executable
+    # that runs exactly once.
+    import numpy as np
+
+    from texocr_tpu.utils import pad_to_multiple as _ptm
+
+    w0, h0 = min(train_set.sizes, key=lambda wh: wh[0] * wh[1])
+    seq0 = _ptm(3, config.get("seq_pad_multiple", 1))
+    sample_images = np.zeros((tcfg.batch_size, h0, w0, 1), np.float32)
+    sample_labels = np.full(
+        (tcfg.batch_size, seq0), int(config["trg_pad_idx"]), np.int32
+    )
     state = create_train_state(
         model,
         tx,

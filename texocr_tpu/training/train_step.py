@@ -43,7 +43,10 @@ def create_train_state(
     already-sharded params under jit makes the Adam moments inherit their
     parameters' shardings — no per-optimizer plumbing."""
     init_rng, dropout_rng = jax.random.split(rng)
-    variables = model.init(init_rng, sample_images, sample_labels)
+    # Jitted init: ONE compiled execution (persistently cacheable) instead of
+    # eager op-by-op dispatch — through the remote tunnel, eager init of the
+    # flagship at full-canvas shapes costs tens of minutes in per-op latency.
+    variables = jax.jit(model.init)(init_rng, sample_images, sample_labels)
     params = variables["params"]
     if mesh is not None:
         params = shard_pytree(params, mesh)
