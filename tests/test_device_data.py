@@ -78,9 +78,9 @@ def test_scan_step_trains_and_counts(dataset):
     state = create_train_state(model, tx, jax.random.PRNGKey(0), imgs, labs)
     run = make_scan_train_step(model, tx, batch_size=2)
 
-    state, m1 = run(state, b.images, b.labels, 4)
+    state, m1 = run(state, b.images, b.labels, 4, b.n)
     assert int(state.step) == 4
-    state, m2 = run(state, b.images, b.labels, 4)
+    state, m2 = run(state, b.images, b.labels, 4, b.n)
     assert int(state.step) == 8
     assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
     assert float(m2["loss"]) < float(m1["loss"])  # memorizing the bucket
@@ -118,18 +118,28 @@ def test_selection_varies_across_calls(dataset):
     import jax.numpy as jnp
     from texocr_tpu.training.device_data import make_scan_train_step  # noqa
 
-    # Reproduce the selection math directly for two entry steps.
-    data = DeviceResidentData.from_dataset(dataset, seq_pad_multiple=8)
+    # Reproduce the selection math directly for two entry steps: scores are
+    # iid uniforms with padding rows pushed to +inf; argsort of the scores
+    # is the random order of the real rows (device_data.make_scan_train_step).
+    data = DeviceResidentData.from_dataset(dataset, seq_pad_multiple=8,
+                                           size_round=8)
     b = next(iter(data.buckets.values()))
+    n_padded = b.images.shape[0]
+    assert n_padded % 8 == 0 and n_padded >= b.n
     key = jax.random.PRNGKey(1)
     perms = []
     for entry_step in (0, 4):
         pk = jax.random.fold_in(
             jax.random.fold_in(key, jnp.asarray(entry_step)), 0x5E1EC7
         )
-        perms.append(np.asarray(jax.random.permutation(pk, b.n)))
+        scores = jnp.where(
+            jnp.arange(n_padded) < b.n,
+            jax.random.uniform(pk, (n_padded,)),
+            jnp.inf,
+        )
+        perms.append(np.asarray(jnp.argsort(scores))[: b.n])
     assert not np.array_equal(perms[0], perms[1])
-    # Within one call: a full pass is without replacement.
+    # Within one call: a full pass is without replacement over REAL rows only.
     assert sorted(perms[0]) == list(range(b.n))
 
 
@@ -208,11 +218,11 @@ def test_scan_step_dynamic_n_steps_one_executable(dataset):
     state = create_train_state(model, tx, jax.random.PRNGKey(0), imgs, labs)
     run = make_scan_train_step(model, tx, batch_size=2, steps_cap=8)
 
-    state, m1 = run(state, b.images, b.labels, 3)
+    state, m1 = run(state, b.images, b.labels, 3, b.n)
     assert int(state.step) == 3
-    state, m2 = run(state, b.images, b.labels, 8)
+    state, m2 = run(state, b.images, b.labels, 8, b.n)
     assert int(state.step) == 11
-    state, m3 = run(state, b.images, b.labels, 5)
+    state, m3 = run(state, b.images, b.labels, 5, b.n)
     assert int(state.step) == 16
     for m in (m1, m2, m3):
         assert np.isfinite(float(m["loss"]))

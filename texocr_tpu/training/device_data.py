@@ -102,12 +102,20 @@ class DeviceResidentData:
         device=None,
         mesh=None,
         max_canvas: Optional[Tuple[int, int]] = None,
+        size_round: int = 1,
     ) -> "DeviceResidentData":
         """``mesh`` replicates each bucket across the mesh's devices (the
         dataset is small relative to HBM; replication keeps the on-device
         gather local — no cross-chip collective per batch). The per-batch
         'data'-axis sharding happens after the gather (make_scan_train_step),
-        so each chip materializes only its own rows."""
+        so each chip materializes only its own rows.
+
+        ``size_round`` pads each bucket's row count up to a multiple (rows
+        repeated modulo the real count; ``DeviceBucket.n`` keeps the real
+        count and the scan steps never sample the padding). The bucket row
+        count is part of the compiled executable's input shape, so without
+        rounding EVERY dataset-size change recompiles every bucket — minutes
+        per shape through the remote-compile tunnel."""
         if mesh is not None and device is None:
             from jax.sharding import NamedSharding, PartitionSpec
 
@@ -124,15 +132,18 @@ class DeviceResidentData:
             # bound, e.g. (32, 640) trains the single-line stage first.
             if max_canvas is not None and (h > max_canvas[0] or w > max_canvas[1]):
                 continue
-            imgs = np.stack([ds._load_array(i) for i in idxs])  # (N, H, W) u8
+            n = len(idxs)
+            n_pad = pad_to_multiple(n, size_round)
+            rows = idxs + [idxs[i % n] for i in range(n_pad - n)]
+            imgs = np.stack([ds._load_array(i) for i in rows])  # (N', H, W) u8
             labs = _pack_labels(
-                [ds.token_ids[i] for i in idxs], pad, bos, eos, seq_pad_multiple
+                [ds.token_ids[i] for i in rows], pad, bos, eos, seq_pad_multiple
             )
             max_seq = max(max_seq, labs.shape[1])
             buckets[(h, w)] = DeviceBucket(
                 jax.device_put(jnp.asarray(imgs), device),
                 jax.device_put(jnp.asarray(labs), device),
-                len(idxs),
+                n,
             )
         return cls(buckets, max_seq)
 
@@ -218,17 +229,28 @@ def make_scan_train_step(
         batch_spec = batch_sharding(mesh)
 
     @partial(jax.jit, donate_argnums=(0,))
-    def run(state: TrainState, images_u8, labels_all, n_steps):
-        n = images_u8.shape[0]
+    def run(state: TrainState, images_u8, labels_all, n_steps, n_real):
+        n_padded = images_u8.shape[0]
         # Selection keys diverge from dropout keys via a tag fold so the two
         # streams never collide (dropout folds (rng, step) directly).
         perm_key = jax.random.fold_in(
             jax.random.fold_in(state.dropout_rng, state.step), 0x5E1EC7
         )
-        perm = jax.random.permutation(perm_key, n)
+        # Random order of the REAL rows as argsort of iid uniforms with the
+        # padding rows pushed to the back: ``n_real`` stays a dynamic scalar
+        # (jax.random.permutation would need a static size, re-tying the
+        # executable to the dataset size that bucket padding just decoupled).
+        scores = jnp.where(
+            jnp.arange(n_padded) < n_real,
+            jax.random.uniform(perm_key, (n_padded,)),
+            jnp.inf,
+        )
+        perm = jnp.argsort(scores)
 
         def do_step(state, s):
-            idx = jnp.take(perm, (s * batch_size + jnp.arange(batch_size)) % n)
+            idx = jnp.take(
+                perm, (s * batch_size + jnp.arange(batch_size)) % n_real
+            )
             images, labels = gather_batch(images_u8, labels_all, idx)
             if batch_spec is not None:
                 images = jax.lax.with_sharding_constraint(images, batch_spec)
@@ -309,11 +331,9 @@ def make_scan_eval_step(
     pad_token = model.config.pad_token
 
     @jax.jit
-    def run(params, images_u8, labels_all, n_steps, start):
-        n = images_u8.shape[0]
-
+    def run(params, images_u8, labels_all, n_steps, start, n_real):
         def do_batch(acc, s):
-            idx = ((start + s) * batch_size + jnp.arange(batch_size)) % n
+            idx = ((start + s) * batch_size + jnp.arange(batch_size)) % n_real
             images, labels = gather_batch(images_u8, labels_all, idx)
             logits, shifted = model.apply({"params": params}, images, labels)
             return acc + sequence_ce_loss(

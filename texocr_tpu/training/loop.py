@@ -232,14 +232,19 @@ def _train_device_resident(
     seq_pad = config.get("seq_pad_multiple", 1)
     steps_cap = config.get("device_data_steps_per_call", 16)
     batch_size = tcfg.batch_size
+    size_round = config.get("device_data_size_round", 512)
     data = DeviceResidentData.from_dataset(
         train_set, seq_pad_multiple=seq_pad,
         min_bucket_items=(1 if tcfg.keep_small else batch_size),
         mesh=mesh,
         max_canvas=config.get("device_data_max_canvas"),
+        size_round=size_round,
     )
     val_data = (
-        DeviceResidentData.from_dataset(val_set, seq_pad_multiple=seq_pad, mesh=mesh)
+        DeviceResidentData.from_dataset(
+            val_set, seq_pad_multiple=seq_pad, mesh=mesh,
+            size_round=size_round,
+        )
         if val_set is not None
         else None
     )
@@ -275,7 +280,7 @@ def _train_device_resident(
         t0 = time.time()
         for key, steps in plan:
             b = data.buckets[key]
-            state, metrics = run_steps(state, b.images, b.labels, steps)
+            state, metrics = run_steps(state, b.images, b.labels, steps, b.n)
             epoch_loss = epoch_loss + metrics["loss"] * steps
             epoch_acc = epoch_acc + metrics["token_acc"] * steps
             n_calls += 1
@@ -308,7 +313,7 @@ def _train_device_resident(
                 while total > 0:
                     take = min(total, steps_cap)
                     val_loss = val_loss + eval_steps(
-                        state.params, b.images, b.labels, take, off
+                        state.params, b.images, b.labels, take, off, b.n
                     ) * take
                     total -= take
                     off += take

@@ -118,13 +118,13 @@ def main():
         )
         run = make_scan_train_step(model, tx, args.batch, steps_cap=args.scan)
         t0 = time.time()
-        state, metrics = run(state, imgs_u8, labs_all, args.scan)
+        state, metrics = run(state, imgs_u8, labs_all, args.scan, n_pool)
         first_loss = float(metrics["loss"])
         log(f"compile + first call: {time.time()-t0:.1f}s loss={first_loss:.3f}")
         t0 = time.time()
         calls = max(args.steps // args.scan, 1)
         for _ in range(calls):
-            state, metrics = run(state, imgs_u8, labs_all, args.scan)
+            state, metrics = run(state, imgs_u8, labs_all, args.scan, n_pool)
         final = float(metrics["loss"])
         dt = time.time() - t0
         total_steps = calls * args.scan
