@@ -68,21 +68,21 @@ def test_model(
 
     accs, ems, sims, n = [], [], [], 0
     for images, labels in create_dataloader(test_set, config):
-        pred = decode(jnp.asarray(images))
+        # One device sync per batch; metrics run on the host (metrics.py).
+        pred = np.asarray(decode(jnp.asarray(images)))
         # Targets exclude the leading BOS (generate returns the suffix only,
         # like the reference: decoder.py:118).
-        target = jnp.asarray(labels[:, 1:])
-        accs.append(float(batch_acc(pred, target, cfg.pad_token)))
-        ems.append(float(exact_match_rate(pred, target, cfg.pad_token)))
+        target = np.asarray(labels)[:, 1:]
+        accs.append(batch_acc(pred, target, cfg.pad_token))
+        ems.append(exact_match_rate(pred, target, cfg.pad_token))
         sims.append(edit_similarity(pred, target, cfg.pad_token))
         n += 1
         if verbose:
             print(f"batch {n}: token_acc {accs[-1]:.3f}  exact {ems[-1]:.3f}"
                   f"  edit_sim {sims[-1]:.3f}")
-            row = np.asarray(pred[0])
-            ids = [int(t) for t in row if t not in (cfg.pad_token,)]
+            ids = [int(t) for t in pred[0] if t not in (cfg.pad_token,)]
             print("  pred:", test_set.tokenizer.decode(ids))
-            gold = [int(t) for t in np.asarray(target[0]) if t != cfg.pad_token]
+            gold = [int(t) for t in target[0] if t != cfg.pad_token]
             print("  gold:", test_set.tokenizer.decode(gold))
         if max_batches and n >= max_batches:
             break

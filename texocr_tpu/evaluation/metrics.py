@@ -1,43 +1,49 @@
-"""Sequence metrics, as pure jnp functions.
+"""Sequence metrics, computed on the host in numpy.
 
 ``batch_acc`` reproduces the reference metric exactly (reference
 eval/eval.py:3-33): pad the shorter of pred/target with PAD to equal length,
 build the union mask of non-pad positions, per-row token accuracy over that
 mask, mean over the batch. ``exact_match_rate`` is the stricter north-star
 metric (every non-pad token equal).
+
+Host numpy on purpose: these run on already-decoded token ids after the
+device sync, and every (pred_len, target_len) pair would otherwise compile
+its own tiny device executable — wasted latency (and an observed source of
+spurious backend compile errors) for elementwise compares the host does in
+microseconds. Device inputs are accepted; they're pulled with np.asarray.
 """
 
 from __future__ import annotations
 
-import jax.numpy as jnp
+import numpy as np
 
 
-def _pad_to_common(pred: jnp.ndarray, target: jnp.ndarray, pad_token: int):
+def _pad_to_common(pred, target, pad_token: int):
+    pred = np.asarray(pred)
+    target = np.asarray(target)
     lp, lt = pred.shape[1], target.shape[1]
     if lp < lt:
-        pred = jnp.pad(pred, ((0, 0), (0, lt - lp)), constant_values=pad_token)
+        pred = np.pad(pred, ((0, 0), (0, lt - lp)), constant_values=pad_token)
     elif lt < lp:
-        target = jnp.pad(target, ((0, 0), (0, lp - lt)), constant_values=pad_token)
+        target = np.pad(target, ((0, 0), (0, lp - lt)), constant_values=pad_token)
     return pred, target
 
 
-def batch_acc(pred: jnp.ndarray, target: jnp.ndarray, pad_token: int) -> jnp.ndarray:
+def batch_acc(pred, target, pad_token: int) -> float:
     """Mean per-row token accuracy over the union non-pad mask."""
     pred, target = _pad_to_common(pred, target, pad_token)
     mask = (pred != pad_token) | (target != pad_token)
-    seq_lens = jnp.maximum(mask.sum(axis=1), 1)
+    seq_lens = np.maximum(mask.sum(axis=1), 1)
     correct = ((pred == target) & mask).sum(axis=1)
-    return jnp.mean(correct.astype(jnp.float32) / seq_lens.astype(jnp.float32))
+    return float(np.mean(correct.astype(np.float32) / seq_lens.astype(np.float32)))
 
 
-def exact_match_rate(
-    pred: jnp.ndarray, target: jnp.ndarray, pad_token: int
-) -> jnp.ndarray:
+def exact_match_rate(pred, target, pad_token: int) -> float:
     """Fraction of rows whose entire union-masked token sequence matches."""
     pred, target = _pad_to_common(pred, target, pad_token)
     mask = (pred != pad_token) | (target != pad_token)
-    row_ok = jnp.all((pred == target) | ~mask, axis=1)
-    return jnp.mean(row_ok.astype(jnp.float32))
+    row_ok = np.all((pred == target) | ~mask, axis=1)
+    return float(np.mean(row_ok.astype(np.float32)))
 
 
 def edit_similarity(pred, target, pad_token: int) -> float:
@@ -51,8 +57,6 @@ def edit_similarity(pred, target, pad_token: int) -> float:
     near 0. Edit similarity is alignment-robust and complements exact-match.
     Not a reference metric; reported alongside, never instead.
     """
-    import numpy as np
-
     pred = np.asarray(pred)
     target = np.asarray(target)
     sims = []
