@@ -5,8 +5,18 @@
 from __future__ import annotations
 
 import argparse
+import os
 
 import jax
+
+# Persistent compile cache: full-canvas decode executables take minutes to
+# build through the single-chip tunnel; reruns (and resumed evals) reuse them.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..",
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from texocr_tpu.config import ModelConfig, load_config
 from texocr_tpu.data.dataset import ImageDataset
@@ -26,6 +36,11 @@ def parse_args():
                    choices=("greedy", "beam"),
                    help="decode mode (beam = BASELINE config #4)")
     p.add_argument("--beam_size", type=int, default=5)
+    p.add_argument("--skip_batches", type=int, default=0,
+                   help="skip the first N batches (resume a long eval; the "
+                        "loader order is deterministic for a fixed seed)")
+    p.add_argument("--metrics_out", type=str, default=None,
+                   help="append per-batch metrics to this JSONL file")
     return p.parse_args()
 
 
@@ -79,6 +94,7 @@ def main(args):
         test_set, model, params, config,
         max_len=args.max_len, max_batches=args.max_batches,
         decode_mode=args.decode, beam_size=args.beam_size,
+        skip_batches=args.skip_batches, metrics_out=args.metrics_out,
     )
 
 

@@ -32,12 +32,21 @@ def test_model(
     max_batches: Optional[int] = None,
     decode_mode: str = "greedy",
     beam_size: int = 5,
+    skip_batches: int = 0,
+    metrics_out: Optional[str] = None,
 ) -> Dict[str, float]:
     """Decode the test split, report mean batch token-accuracy and
     exact-match. ``max_len`` defaults to the reference harness's decode budget
     (reference test.py:35). ``decode_mode``: 'greedy' (argmax, the BASELINE
     configs' default) or 'beam' (length-unnormalized beam search of width
-    ``beam_size``; BASELINE config #4)."""
+    ``beam_size``; BASELINE config #4).
+
+    ``skip_batches``/``metrics_out`` make long evals resumable across process
+    restarts: the loader order is deterministic for a fixed config seed, each
+    completed batch appends one JSON line to ``metrics_out``, and a rerun with
+    ``skip_batches=<lines already written>`` continues where the previous
+    process died (the single-chip tunnel can kill a long process with a
+    spurious backend error; see tools/eval_full_split.py)."""
     cfg = model.config
     if decode_mode not in ("greedy", "beam"):
         raise ValueError(f"unknown decode_mode: {decode_mode!r}")
@@ -68,6 +77,9 @@ def test_model(
 
     accs, ems, sims, n = [], [], [], 0
     for images, labels in create_dataloader(test_set, config):
+        if n < skip_batches:
+            n += 1
+            continue
         # One device sync per batch; metrics run on the host (metrics.py).
         pred = np.asarray(decode(jnp.asarray(images)))
         # Targets exclude the leading BOS (generate returns the suffix only,
@@ -77,6 +89,16 @@ def test_model(
         ems.append(exact_match_rate(pred, target, cfg.pad_token))
         sims.append(edit_similarity(pred, target, cfg.pad_token))
         n += 1
+        if metrics_out:
+            import json
+
+            with open(metrics_out, "a") as f:
+                f.write(json.dumps({
+                    "batch": n, "rows": int(pred.shape[0]),
+                    "token_acc": float(accs[-1]),
+                    "exact_match": float(ems[-1]),
+                    "edit_similarity": float(sims[-1]),
+                }) + "\n")
         if verbose:
             print(f"batch {n}: token_acc {accs[-1]:.3f}  exact {ems[-1]:.3f}"
                   f"  edit_sim {sims[-1]:.3f}")
