@@ -73,6 +73,21 @@ def test_train_loop_end_to_end(dataset, tmp_path):
     for a, b in zip(live, back):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    # Fast params-only restore: first call restores via orbax and writes the
+    # msgpack side-cache; second call must read the cache and agree.
+    import os
+
+    from texocr_tpu.checkpoint.orbax_io import load_params_fast
+
+    first = load_params_fast(path)
+    cache = os.path.join(path, "params_cache.msgpack")
+    assert os.path.exists(cache)
+    second = load_params_fast(path)
+    for a, b in zip(jax.tree.leaves(first), jax.tree.leaves(second)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(live, jax.tree.leaves(second)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 def test_eval_harness_runs(dataset, tmp_path):
     from texocr_tpu.config import ModelConfig

@@ -35,6 +35,33 @@ def load_checkpoint(path: str, template: Optional[Any] = None) -> dict:
     return ckptr.restore(os.path.abspath(path))
 
 
+def load_params_fast(path: str) -> Any:
+    """Restore just the ``params`` of a checkpoint, with a msgpack side-cache.
+
+    A template-free orbax restore reads sharding metadata from file and takes
+    minutes for the 23.7M-param model through the single-chip device tunnel;
+    resumable long evals (tools/eval_full_split.py) restart the process after
+    spurious tunnel errors and would pay that on every restart. The first call
+    restores via orbax and writes ``<path>/params_cache.msgpack`` (params
+    only — no opt_state); later calls load the cache in under a second. The
+    cache write is crash-safe (temp file + atomic rename).
+    """
+    import numpy as np
+    from flax import serialization as fser
+
+    cache = os.path.join(os.path.abspath(path), "params_cache.msgpack")
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            return fser.msgpack_restore(f.read())
+    params = load_checkpoint(path)["params"]
+    host = __import__("jax").tree.map(np.asarray, params)
+    tmp = cache + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(fser.msgpack_serialize(host))
+    os.replace(tmp, cache)
+    return host
+
+
 def latest_checkpoint(save_dir: str) -> Optional[str]:
     """Highest-epoch checkpoint_e* directory, or None."""
     if not os.path.isdir(save_dir):

@@ -77,10 +77,12 @@ def main(args):
         config["max_length"] = int(pos_len)
         model = OCRModel(ModelConfig.from_dict(config))
     elif args.checkpoint:
-        from texocr_tpu.checkpoint.orbax_io import load_checkpoint
+        from texocr_tpu.checkpoint.orbax_io import load_params_fast
 
         model = OCRModel(ModelConfig.from_dict(config))
-        params = {"params": load_checkpoint(args.checkpoint)["params"]}
+        # device_put once: the cache path returns host numpy arrays, which
+        # jit would otherwise re-upload on every batch.
+        params = jax.device_put({"params": load_params_fast(args.checkpoint)})
     else:
         print("WARNING: no checkpoint given; evaluating a random init.")
         model = OCRModel(ModelConfig.from_dict(config))
