@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""One-command driver for the published curriculum training chain.
+
+Training the flagship model at the reference's difficulty profile from
+scratch memorizes (RESULTS.md, "realistic-regime training"); the recipe
+that works is a chain of warm-started stages of increasing difficulty and
+data scale. This script encodes that chain (the exact recipes published in
+RESULTS.md) so a user reproduces the headline accuracy with one command
+instead of a dozen:
+
+  python tools/train_curriculum.py                 # stages A..F (~3h one v5e)
+  python tools/train_curriculum.py --stages A-C    # grounding only (~45 min)
+  python tools/train_curriculum.py --stages F,G    # resume later stages
+  python tools/train_curriculum.py --dry_run       # print the commands
+
+Fills the role of the reference's single-shot train.py workflow
+(/root/reference/train.py:16-104) at the realistic data regime. Each stage
+builds its dataset with tools/make_demo_dataset.py (skipped if the pickles
+already exist) and trains with tools/demo_train_tpu.py warm-started from the
+previous stage's checkpoint directory. Stage results and expected outcomes
+are documented stage by stage in RESULTS.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+
+# Each stage: dataset build args + training args (RESULTS.md recipes).
+# `epochs`/`decay_steps` pairs keep the cosine schedule ending at the final
+# step of the stage. All stages run device-resident with on-device
+# augmentation at batch 32 (the measured-optimal single-chip configuration).
+STAGES = {
+    # A: trivially short labels on tiny canvases — bootstraps glyph reading.
+    "A": dict(
+        data="data_simple",
+        dataset=["--n", "4000", "--simple"],
+        train=["--epochs", "150", "--lr", "3e-4"],
+    ),
+    # B: entropy-rich labels, short single-line canvases only.
+    "B": dict(
+        data="data_entropic",
+        dataset=["--n", "10000", "--entropic"],
+        train=["--epochs", "80", "--lr", "3e-4", "--max_canvas", "32", "640"],
+    ),
+    # C: the full entropic mix up to (96, 1008) wrapped canvases.
+    "C": dict(
+        data="data_entropic",
+        dataset=["--n", "10000", "--entropic"],
+        train=["--epochs", "100", "--lr", "3e-4", "--warmup_steps", "200",
+               "--decay_steps", "25000", "--eval_max_len", "330",
+               "--eval_batch_size", "32", "--eval_batches", "4"],
+    ),
+    # D: the reference's structured LaTeX grammar at 8k uniques.
+    "D": dict(
+        data="data_realistic",
+        dataset=["--n", "10000", "--realistic"],
+        train=["--epochs", "100", "--lr", "3e-4", "--warmup_steps", "200",
+               "--decay_steps", "25000", "--eval_max_len", "475",
+               "--eval_batch_size", "32", "--eval_batches", "6",
+               "--save_freq", "20", "--val_freq", "10"],
+    ),
+    # E: same regime, 2.4x the uniques (exact match is data-bound).
+    "E": dict(
+        data="data_real24k",
+        dataset=["--n", "24000", "--realistic", "--seed", "7"],
+        train=["--epochs", "60", "--lr", "3e-4", "--warmup_steps", "200",
+               "--decay_steps", "36000", "--eval_max_len", "475",
+               "--eval_batch_size", "32", "--eval_batches", "6",
+               "--save_freq", "20", "--val_freq", "10"],
+    ),
+    # F: one more doubling — clears the >=95% exact-match north star.
+    "F": dict(
+        data="data_real48k",
+        dataset=["--n", "48000", "--realistic", "--seed", "11"],
+        train=["--epochs", "40", "--lr", "3e-4", "--warmup_steps", "200",
+               "--decay_steps", "48000", "--eval_max_len", "475",
+               "--eval_batch_size", "32", "--eval_batches", "225",
+               "--save_freq", "10", "--val_freq", "10"],
+    ),
+    # G: the reference's full 100k-equation scale (data_config.yml:2).
+    "G": dict(
+        data="data_real100k",
+        dataset=["--n", "100000", "--realistic", "--seed", "13"],
+        train=["--epochs", "40", "--lr", "3e-4", "--warmup_steps", "200",
+               "--decay_steps", "100000", "--eval_max_len", "500",
+               "--eval_batch_size", "32", "--eval_batches", "150",
+               "--save_freq", "10", "--val_freq", "10"],
+    ),
+}
+
+ORDER = list(STAGES)
+
+
+def parse_stages(spec: str) -> list[str]:
+    """'A-D' / 'A,C,F' / 'A-C,F' -> ordered stage list."""
+    out: list[str] = []
+    for part in spec.upper().split(","):
+        part = part.strip()
+        if "-" in part:
+            lo, hi = part.split("-", 1)
+            if lo not in ORDER or hi not in ORDER:
+                raise SystemExit(f"unknown stage range: {part}")
+            out.extend(ORDER[ORDER.index(lo): ORDER.index(hi) + 1])
+        elif part:
+            if part not in ORDER:
+                raise SystemExit(f"unknown stage: {part}")
+            out.append(part)
+    return out
+
+
+def run(cmd: list[str], dry: bool) -> None:
+    print("+", " ".join(cmd), flush=True)
+    if not dry:
+        subprocess.run(cmd, check=True)
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--stages", default="A-F",
+                   help="stage list, e.g. A-F or A-C,F (default A-F)")
+    p.add_argument("--base_dir", default="/tmp",
+                   help="where datasets and stage checkpoints live")
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--init_from", default=None,
+                   help="warm-start dir for the FIRST selected stage "
+                        "(default: the previous stage's checkpoint dir, "
+                        "or from scratch for stage A)")
+    p.add_argument("--force_data", action="store_true",
+                   help="rebuild datasets even if the pickles exist")
+    p.add_argument("--dry_run", action="store_true")
+    args = p.parse_args()
+
+    stages = parse_stages(args.stages)
+    if not stages:
+        raise SystemExit("no stages selected")
+    py = sys.executable
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    prev_ckpt = args.init_from
+    if prev_ckpt is None and stages[0] != "A":
+        prev = ORDER[ORDER.index(stages[0]) - 1]
+        cand = os.path.join(args.base_dir, f"stage{prev}_ckpts")
+        if os.path.isdir(cand):
+            prev_ckpt = cand
+        else:
+            raise SystemExit(
+                f"stage {stages[0]} needs a warm start; {cand} not found "
+                "(pass --init_from or start from stage A)")
+
+    for name in stages:
+        spec = STAGES[name]
+        data_dir = os.path.join(args.base_dir, spec["data"])
+        save_dir = os.path.join(args.base_dir, f"stage{name}_ckpts")
+
+        if args.force_data or not os.path.exists(
+                os.path.join(data_dir, "train", "trainset.pkl")):
+            run([py, os.path.join(here, "make_demo_dataset.py"),
+                 "--out", data_dir] + spec["dataset"], args.dry_run)
+        else:
+            print(f"[stage {name}] dataset {data_dir} exists, skipping build")
+
+        cmd = [py, os.path.join(here, "demo_train_tpu.py"),
+               "--data", data_dir, "--device_data", "--augment",
+               "--batch_size", str(args.batch_size),
+               "--save_dir", save_dir] + spec["train"]
+        if prev_ckpt:
+            cmd += ["--init_from", prev_ckpt]
+        run(cmd, args.dry_run)
+        prev_ckpt = save_dir
+
+    print(f"curriculum complete; final checkpoints in {prev_ckpt}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
