@@ -32,8 +32,10 @@ def main(args: argparse.Namespace) -> None:
         dataset_size=config["num_equations"],
     )
     dataset.save(args.save)
-    print(f"Dataset of size {len(dataset)} saved to {args.save}.")
-    print(f"Time taken: {time.time() - start:.2f} seconds.")
+    print(
+        f"Pickled {len(dataset)}-item {args.split} dataset to {args.save} "
+        f"in {time.time() - start:.2f}s."
+    )
 
 
 if __name__ == "__main__":
