@@ -12,6 +12,7 @@ from texocr_tpu.data import ImageDataset
 from texocr_tpu.data.dataset import BatchCollator
 from texocr_tpu.tokenizer import DEFAULT_VOCAB_PATH, load_default_tokenizer
 from texocr_tpu.training.device_data import (
+    DeviceBucket,
     DeviceResidentData,
     gather_batch,
     make_scan_train_step,
@@ -78,9 +79,9 @@ def test_scan_step_trains_and_counts(dataset):
     state = create_train_state(model, tx, jax.random.PRNGKey(0), imgs, labs)
     run = make_scan_train_step(model, tx, batch_size=2)
 
-    state, m1 = run(state, b.images, b.labels, 4, b.n)
+    state, m1 = run(state, b.images, b.labels, 4, b.n, 0, 0)
     assert int(state.step) == 4
-    state, m2 = run(state, b.images, b.labels, 4, b.n)
+    state, m2 = run(state, b.images, b.labels, 4, b.n, 0, 1)
     assert int(state.step) == 8
     assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
     assert float(m2["loss"]) < float(m1["loss"])  # memorizing the bucket
@@ -111,14 +112,15 @@ def test_augment_batch_properties():
     assert not np.array_equal(d[0], d[1])
 
 
-def test_selection_varies_across_calls(dataset):
-    """The on-device permutation is keyed on the entry step counter, so two
-    consecutive calls must see different batch compositions (same-key calls
-    would silently train on one fixed ordering forever)."""
+def test_selection_varies_across_epochs(dataset):
+    """The on-device permutation is keyed on perm_seed (the epoch number), so
+    two epochs see different orderings — while all chunked calls WITHIN one
+    epoch share one permutation, which their disjoint plan() starts slice
+    into exactly one without-replacement pass."""
     import jax.numpy as jnp
     from texocr_tpu.training.device_data import make_scan_train_step  # noqa
 
-    # Reproduce the selection math directly for two entry steps: scores are
+    # Reproduce the selection math directly for two perm_seeds: scores are
     # iid uniforms with padding rows pushed to +inf; argsort of the scores
     # is the random order of the real rows (device_data.make_scan_train_step).
     data = DeviceResidentData.from_dataset(dataset, seq_pad_multiple=8,
@@ -128,9 +130,9 @@ def test_selection_varies_across_calls(dataset):
     assert n_padded % 8 == 0 and n_padded >= b.n
     key = jax.random.PRNGKey(1)
     perms = []
-    for entry_step in (0, 4):
+    for perm_seed in (0, 1):
         pk = jax.random.fold_in(
-            jax.random.fold_in(key, jnp.asarray(entry_step)), 0x5E1EC7
+            jax.random.fold_in(key, jnp.asarray(perm_seed)), 0x5E1EC7
         )
         scores = jnp.where(
             jnp.arange(n_padded) < b.n,
@@ -139,8 +141,38 @@ def test_selection_varies_across_calls(dataset):
         )
         perms.append(np.asarray(jnp.argsort(scores))[: b.n])
     assert not np.array_equal(perms[0], perms[1])
-    # Within one call: a full pass is without replacement over REAL rows only.
+    # Within one epoch: a full pass is without replacement over REAL rows only.
     assert sorted(perms[0]) == list(range(b.n))
+
+
+def test_plan_covers_each_bucket_once():
+    """plan() chunks every bucket into disjoint (steps, start) slices whose
+    union is exactly one pass: starts are contiguous and sum(steps) =
+    floor(n / batch) — so chunked dispatches never re-sample rows within an
+    epoch (the pre-fix behavior bootstrap-sampled each chunk from a fresh
+    permutation, leaving ~1/e of large buckets unseen per epoch)."""
+    buckets = {
+        (16, 64): DeviceBucket(jnp.zeros((70, 16, 64), jnp.uint8),
+                               jnp.zeros((70, 8), jnp.int32), 70),
+        (32, 64): DeviceBucket(jnp.zeros((8, 32, 64), jnp.uint8),
+                               jnp.zeros((8, 8), jnp.int32), 3),
+    }
+    data = DeviceResidentData(buckets, 8)
+    plan = data.plan(batch_size=4, steps_cap=5)
+    per_bucket = {}
+    for key, steps, start in plan:
+        per_bucket.setdefault(key, []).append((start, steps))
+    for key, chunks in per_bucket.items():
+        chunks.sort()
+        expect = max(buckets[key].n // 4, 1)
+        assert sum(s for _, s in chunks) == expect
+        # Contiguous, disjoint slices starting at 0.
+        pos = 0
+        for start, steps in chunks:
+            assert start == pos
+            pos += steps
+    assert [s for _, s in sorted(per_bucket[(16, 64)])] == [5, 5, 5, 2]
+    assert per_bucket[(32, 64)] == [(0, 1)]
 
 
 def test_device_data_resume(dataset, tmp_path):

@@ -5,18 +5,14 @@
 from __future__ import annotations
 
 import argparse
-import os
 
 import jax
 
+from texocr_tpu.utils import enable_compile_cache
+
 # Persistent compile cache: full-canvas decode executables take minutes to
 # build through the single-chip tunnel; reruns (and resumed evals) reuse them.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..",
-                 ".jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+enable_compile_cache()
 
 from texocr_tpu.config import ModelConfig, load_config
 from texocr_tpu.data.dataset import ImageDataset
@@ -79,10 +75,22 @@ def main(args):
     elif args.checkpoint:
         from texocr_tpu.checkpoint.orbax_io import load_params_fast
 
+        restored = load_params_fast(args.checkpoint)
+        # Sync max_length to the checkpoint's positional-table size (same as
+        # the .pth branch): a model claiming more positions than the restored
+        # table has would read NaN-filled embeddings past the table and decode
+        # silently-wrong tokens. Decode budget is clamped to the table too.
+        pos_rows = int(restored["decoder"]["pos_embedding"]["embedding"].shape[0])
+        if args.max_len + 1 > pos_rows:
+            print(f"WARNING: --max_len {args.max_len} exceeds the checkpoint's "
+                  f"positional table ({pos_rows} rows); clamping to "
+                  f"{pos_rows - 1}.")
+            args.max_len = pos_rows - 1
+        config["max_length"] = pos_rows
         model = OCRModel(ModelConfig.from_dict(config))
         # device_put once: the cache path returns host numpy arrays, which
         # jit would otherwise re-upload on every batch.
-        params = jax.device_put({"params": load_params_fast(args.checkpoint)})
+        params = jax.device_put({"params": restored})
     else:
         print("WARNING: no checkpoint given; evaluating a random init.")
         model = OCRModel(ModelConfig.from_dict(config))

@@ -76,10 +76,17 @@ def test_model(
         return decode_cache[key](params, images)
 
     accs, ems, sims, n = [], [], [], 0
-    for images, labels in create_dataloader(test_set, config):
+    # Skip at the SAMPLER level: resumed evals pay only the id-list iteration
+    # for already-completed batches, not image decode + collate (at batch 200
+    # of a full-split eval that's ~6,400 avoided PNG decodes per restart).
+    # Metrics are invariant to within-batch row order, so the collator's
+    # shuffle-seed schedule shifting by the skipped calls is immaterial.
+    loader = create_dataloader(test_set, config)
+    for batch_ids in loader.sampler:
         if n < skip_batches:
             n += 1
             continue
+        images, labels = loader.collate([test_set[i] for i in batch_ids])
         # One device sync per batch; metrics run on the host (metrics.py).
         pred = np.asarray(decode(jnp.asarray(images)))
         # Targets exclude the leading BOS (generate returns the suffix only,

@@ -13,11 +13,15 @@ step), normalize on device (fused into the encoder by XLA), and amortize
 dispatch latency by scanning ``steps_per_call`` optimizer steps in ONE
 execution. The host's only per-call work is reading two scalars.
 
-Batch selection semantics: each call draws a fresh permutation of the bucket
-(keyed on the entry step counter) and the scanned steps walk it in order —
-without-replacement *within a call* (and exactly one pass over the bucket
-when ``steps_per_call == floor(n / batch)``), reshuffled across calls. The
-host loop (training/loop.py) interleaves buckets call-by-call, mirroring
+Batch selection semantics: one permutation of the bucket per (epoch, bucket)
+— keyed on the dynamic ``perm_seed`` scalar the host passes (the epoch
+number) — and every call of that bucket's epoch pass walks a disjoint slice
+of it: call step ``start + s`` reads rows ``perm[(start+s)*B .. +B]``. The
+plan assigns each call its ``start`` offset, so an epoch is exactly one
+without-replacement pass over the bucket regardless of how the calls are
+chunked or interleaved (chunked calls drawing FRESH permutations would
+bootstrap-sample: ~1/e of the rows unseen per epoch). The host loop
+(training/loop.py) interleaves buckets call-by-call, mirroring
 BucketBatchSampler's epoch structure (reference dataset.py:281-326) at call
 granularity. Augmentation is host-side PIL work and is therefore not
 available in this mode (augment defaults off in this framework anyway;
@@ -147,18 +151,23 @@ class DeviceResidentData:
             )
         return cls(buckets, max_seq)
 
-    def plan(self, batch_size: int, steps_cap: int = 32) -> List[Tuple[Tuple[int, int], int]]:
-        """One epoch as a list of (bucket_key, steps) dispatches. Each call
-        scans up to ``steps_cap`` steps; ``sum(steps)`` per bucket is one
-        full without-replacement pass (floor(n / batch), min 1 so small
-        buckets still train — their call samples from a fresh permutation)."""
+    def plan(
+        self, batch_size: int, steps_cap: int = 32
+    ) -> List[Tuple[Tuple[int, int], int, int]]:
+        """One epoch as a list of (bucket_key, steps, start) dispatches. Each
+        call scans up to ``steps_cap`` steps beginning at batch offset
+        ``start`` of the bucket's per-epoch permutation, so ``sum(steps)``
+        per bucket is one full without-replacement pass (floor(n / batch),
+        min 1 so small buckets still train)."""
         out = []
         for key, b in self.buckets.items():
             total = max(b.n // batch_size, 1)
+            start = 0
             while total > 0:
                 take = min(total, steps_cap)
-                out.append((key, take))
+                out.append((key, take, start))
                 total -= take
+                start += take
         return out
 
 
@@ -208,13 +217,16 @@ def make_scan_train_step(
     augment: bool = False,
     steps_cap: int = 16,
 ):
-    """(state, bucket_images, bucket_labels, n_steps) -> (state, metrics).
+    """(state, bucket_images, bucket_labels, n_steps, n_real, start,
+    perm_seed) -> (state, metrics).
 
     Runs ``n_steps`` full optimizer steps in ONE compiled execution. Batch
-    rows come from an on-device permutation keyed on the entry step counter:
-    step s of the call reads rows ``perm[(s*B + j) % n]``. The only host
-    traffic is the two scalar metric means on readback. The scan length is
-    the static ``steps_cap``; ``n_steps <= steps_cap`` is a DYNAMIC scalar —
+    rows come from an on-device permutation keyed on ``perm_seed`` (the host
+    passes the epoch number, so every call of a bucket's epoch pass shares
+    ONE permutation): call step s reads rows ``perm[((start+s)*B + j) % n]``,
+    with ``start`` the call's batch offset from plan(). The only host traffic
+    is the two scalar metric means on readback. The scan length is the static
+    ``steps_cap``; ``n_steps``/``start``/``perm_seed`` are DYNAMIC scalars —
     trailing iterations fall into a ``lax.cond`` pass-through branch (state
     unchanged, no fwd/bwd executed on TPU), so there is exactly ONE
     executable per bucket shape instead of one per (shape, n_steps) pair.
@@ -229,12 +241,16 @@ def make_scan_train_step(
         batch_spec = batch_sharding(mesh)
 
     @partial(jax.jit, donate_argnums=(0,))
-    def run(state: TrainState, images_u8, labels_all, n_steps, n_real):
+    def run(state: TrainState, images_u8, labels_all, n_steps, n_real,
+            start=0, perm_seed=0):
         n_padded = images_u8.shape[0]
         # Selection keys diverge from dropout keys via a tag fold so the two
-        # streams never collide (dropout folds (rng, step) directly).
+        # streams never collide (dropout folds (rng, step) directly). The key
+        # depends only on perm_seed — NOT the entry step counter — so chunked
+        # calls of one epoch pass share one permutation and their disjoint
+        # ``start`` slices cover the bucket exactly once.
         perm_key = jax.random.fold_in(
-            jax.random.fold_in(state.dropout_rng, state.step), 0x5E1EC7
+            jax.random.fold_in(state.dropout_rng, perm_seed), 0x5E1EC7
         )
         # Random order of the REAL rows as argsort of iid uniforms with the
         # padding rows pushed to the back: ``n_real`` stays a dynamic scalar
@@ -249,7 +265,8 @@ def make_scan_train_step(
 
         def do_step(state, s):
             idx = jnp.take(
-                perm, (s * batch_size + jnp.arange(batch_size)) % n_real
+                perm, ((start + s) * batch_size + jnp.arange(batch_size))
+                % n_real
             )
             images, labels = gather_batch(images_u8, labels_all, idx)
             if batch_spec is not None:

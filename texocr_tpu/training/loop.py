@@ -243,6 +243,11 @@ def _train_device_resident(
     val_data = (
         DeviceResidentData.from_dataset(
             val_set, seq_pad_multiple=seq_pad, mesh=mesh,
+            # Same curriculum canvas bound as training: without it a
+            # restricted stage still uploads and compiles full-canvas val
+            # executables (minutes each through the tunnel) and the val loss
+            # mixes in canvases the stage deliberately excluded.
+            max_canvas=config.get("device_data_max_canvas"),
             size_round=size_round,
         )
         if val_set is not None
@@ -278,9 +283,14 @@ def _train_device_resident(
         epoch_acc = jnp.zeros((), jnp.float32)
         n_calls, n_steps = 0, 0
         t0 = time.time()
-        for key, steps in plan:
+        for key, steps, start in plan:
             b = data.buckets[key]
-            state, metrics = run_steps(state, b.images, b.labels, steps, b.n)
+            # perm_seed = epoch: all calls of a bucket's epoch pass share one
+            # on-device permutation and their disjoint `start` slices cover
+            # the bucket exactly once (device_data.make_scan_train_step).
+            state, metrics = run_steps(
+                state, b.images, b.labels, steps, b.n, start, epoch
+            )
             epoch_loss = epoch_loss + metrics["loss"] * steps
             epoch_acc = epoch_acc + metrics["token_acc"] * steps
             n_calls += 1

@@ -12,10 +12,39 @@ they are behaviour-critical for parity:
 from __future__ import annotations
 
 import math
+import os
 import re
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax.numpy as jnp
+
+
+def enable_compile_cache(path: Optional[str] = None) -> None:
+    """Point JAX's persistent compilation cache at a shared directory.
+
+    Full-canvas decode/train executables take minutes to build through a
+    remote-compile tunnel; reruns (and resumed evals) reuse the cached
+    binaries. Default location is ``<repo root>/.jax_cache`` (the directory
+    above the installed package); override with the ``TEXOCR_JAX_CACHE``
+    environment variable. Call before the first jitted computation.
+
+    Also re-asserts the ``JAX_PLATFORMS`` environment variable as the
+    ``jax_platforms`` config: some PJRT plugins force-set the config at
+    import time, silently overriding the env var — and a CPU-only run
+    (``JAX_PLATFORMS=cpu``) would otherwise hang trying to reach an
+    unavailable accelerator backend.
+    """
+    import jax
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    path = path or os.environ.get("TEXOCR_JAX_CACHE") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache",
+    )
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def process_output(output: str) -> str:

@@ -20,13 +20,12 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from texocr_tpu.utils import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 from texocr_tpu.models import OCRModel  # noqa: E402
 from texocr_tpu.models.beam import beam_decode  # noqa: E402

@@ -23,13 +23,12 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from texocr_tpu.utils import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 from texocr_tpu.models import OCRModel  # noqa: E402
 from texocr_tpu.training.optimizers import get_optimizer  # noqa: E402
@@ -118,13 +117,15 @@ def main():
         )
         run = make_scan_train_step(model, tx, args.batch, steps_cap=args.scan)
         t0 = time.time()
-        state, metrics = run(state, imgs_u8, labs_all, args.scan, n_pool)
+        state, metrics = run(state, imgs_u8, labs_all, args.scan, n_pool, 0, 0)
         first_loss = float(metrics["loss"])
         log(f"compile + first call: {time.time()-t0:.1f}s loss={first_loss:.3f}")
         t0 = time.time()
         calls = max(args.steps // args.scan, 1)
-        for _ in range(calls):
-            state, metrics = run(state, imgs_u8, labs_all, args.scan, n_pool)
+        for c in range(calls):
+            state, metrics = run(
+                state, imgs_u8, labs_all, args.scan, n_pool, 0, c + 1
+            )
         final = float(metrics["loss"])
         dt = time.time() - t0
         total_steps = calls * args.scan

@@ -14,13 +14,12 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from texocr_tpu.utils import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 import jax  # noqa: E402
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main():
@@ -66,7 +65,6 @@ def main():
     from texocr_tpu.models import OCRModel
     from texocr_tpu.tokenizer import DEFAULT_VOCAB_PATH
     from texocr_tpu.training.loop import train_model
-    from texocr_tpu.utils import pad_to_multiple
 
     train_set = ImageDataset.load(os.path.join(args.data, "train", "trainset.pkl"))
     val_set = ImageDataset.load(os.path.join(args.data, "val", "valset.pkl"))
@@ -124,15 +122,22 @@ def main():
 
     model, state, history = train_model(train_set, val_set, config)
 
-    # Greedy-decode evaluation on the test split.
+    # Greedy-decode evaluation on the test split. The eval model's positional
+    # table must be exactly the TRAINED table: a bigger claimed max_length
+    # would read NaN-filled embeddings past the real rows (jnp.take fill) and
+    # silently corrupt the metrics. Clamp the decode budget to the table.
+    pos_rows = int(
+        state.params["decoder"]["pos_embedding"]["embedding"].shape[0]
+    )
+    eval_max_len = args.eval_max_len
+    if eval_max_len + 1 > pos_rows:
+        print(f"WARNING: --eval_max_len {eval_max_len} exceeds the trained "
+              f"positional table ({pos_rows} rows); clamping to "
+              f"{pos_rows - 1}.")
+        eval_max_len = pos_rows - 1
     eval_config = dict(config)
     eval_config["vocab_size"] = test_set.tokenizer.vocab_size
-    eval_config["max_length"] = max(
-        pad_to_multiple(
-            max(test_set.max_seq_len, train_set.max_seq_len), args.seq_pad
-        ),
-        args.eval_max_len + 1,
-    )
+    eval_config["max_length"] = pos_rows
     if args.eval_batch_size:
         eval_config["batch_size"] = args.eval_batch_size
     eval_model = OCRModel(ModelConfig.from_dict(eval_config))
@@ -141,7 +146,7 @@ def main():
         eval_model,
         {"params": state.params},
         eval_config,
-        max_len=args.eval_max_len,
+        max_len=eval_max_len,
         verbose=True,
         max_batches=args.eval_batches,
     )

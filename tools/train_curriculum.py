@@ -103,6 +103,11 @@ def parse_stages(spec: str) -> list[str]:
             lo, hi = part.split("-", 1)
             if lo not in ORDER or hi not in ORDER:
                 raise SystemExit(f"unknown stage range: {part}")
+            if ORDER.index(lo) > ORDER.index(hi):
+                raise SystemExit(
+                    f"reversed stage range: {part} (did you mean "
+                    f"{hi}-{lo}?)"
+                )
             out.extend(ORDER[ORDER.index(lo): ORDER.index(hi) + 1])
         elif part:
             if part not in ORDER:

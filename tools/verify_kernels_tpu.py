@@ -21,12 +21,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
-)
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from texocr_tpu.utils import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 from texocr_tpu.ops.attention_core import xla_attention  # noqa: E402
 from texocr_tpu.ops.flash_attention import flash_attention  # noqa: E402
@@ -62,13 +62,15 @@ def run_case(name, b, h, n, dh, dtype, causal, kv_lens=None):
     )(q, k, v)
 
     flash, ref = np.asarray(flash, np.float32), np.asarray(ref, np.float32)
-    if kv_lens is not None:
-        # Fully-masked (all-pad) query rows are softmax-degenerate on both
-        # paths but with different fill conventions; compare valid rows only.
-        pass
     err = np.abs(flash - ref)
     denom = np.maximum(np.abs(ref), 1.0)
-    rel = (err / denom).max()
+    rel = err / denom
+    if kv_lens is not None:
+        # A batch element with kv_len == 0 has every key masked: softmax is
+        # degenerate on both paths but with different fill conventions.
+        # Compare only elements with at least one live key.
+        rel = rel[np.asarray(kv_lens) > 0]
+    rel = rel.max()
     ok = bool(rel < TOL[dtype])
     print(
         json.dumps(
