@@ -145,6 +145,27 @@ def test_selection_varies_across_epochs(dataset):
     assert sorted(perms[0]) == list(range(b.n))
 
 
+def test_from_dataset_max_canvas_filter(dataset):
+    """The curriculum canvas bound excludes buckets larger than (H, W) —
+    applied to BOTH train and val uploads (training/loop.py), so restricted
+    stages never compile full-canvas executables."""
+    full = DeviceResidentData.from_dataset(dataset, seq_pad_multiple=8)
+    hs = sorted(h for (h, w) in full.buckets)
+    ws = sorted(w for (h, w) in full.buckets)
+    if len(full.buckets) < 2:
+        import pytest
+
+        pytest.skip("needs >= 2 shape buckets")
+    bound = (hs[0], ws[0])
+    small = DeviceResidentData.from_dataset(
+        dataset, seq_pad_multiple=8, max_canvas=bound
+    )
+    assert small.buckets  # something survives
+    assert set(small.buckets) < set(full.buckets)
+    for (h, w) in small.buckets:
+        assert h <= bound[0] and w <= bound[1]
+
+
 def test_plan_covers_each_bucket_once():
     """plan() chunks every bucket into disjoint (steps, start) slices whose
     union is exactly one pass: starts are contiguous and sum(steps) =

@@ -75,18 +75,14 @@ def main(args):
     elif args.checkpoint:
         from texocr_tpu.checkpoint.orbax_io import load_params_fast
 
+        from texocr_tpu.evaluation.evaluate import clamp_to_pos_table
+
         restored = load_params_fast(args.checkpoint)
         # Sync max_length to the checkpoint's positional-table size (same as
-        # the .pth branch): a model claiming more positions than the restored
-        # table has would read NaN-filled embeddings past the table and decode
-        # silently-wrong tokens. Decode budget is clamped to the table too.
-        pos_rows = int(restored["decoder"]["pos_embedding"]["embedding"].shape[0])
-        if args.max_len + 1 > pos_rows:
-            print(f"WARNING: --max_len {args.max_len} exceeds the checkpoint's "
-                  f"positional table ({pos_rows} rows); clamping to "
-                  f"{pos_rows - 1}.")
-            args.max_len = pos_rows - 1
-        config["max_length"] = pos_rows
+        # the .pth branch) and clamp the decode budget: a model claiming more
+        # positions than the restored table has would read NaN-filled
+        # embeddings past the table and decode silently-wrong tokens.
+        args.max_len = clamp_to_pos_table(restored, config, args.max_len)
         model = OCRModel(ModelConfig.from_dict(config))
         # device_put once: the cache path returns host numpy arrays, which
         # jit would otherwise re-upload on every batch.

@@ -22,6 +22,25 @@ from texocr_tpu.models import OCRModel
 from texocr_tpu.models.generate import greedy_decode
 
 
+def clamp_to_pos_table(params, config: dict, max_len: int):
+    """Sync ``config['max_length']`` to the positional table actually present
+    in ``params`` and clamp the decode budget to it.
+
+    A model claiming more positions than the restored table has would read
+    NaN-filled embeddings past the table (jnp.take's out-of-bounds fill) and
+    decode silently-wrong tokens. ``params`` is the inner params dict (no
+    'params' wrapper). Returns the clamped ``max_len``; mutates ``config``.
+    """
+    pos_rows = int(params["decoder"]["pos_embedding"]["embedding"].shape[0])
+    if max_len + 1 > pos_rows:
+        print(f"WARNING: decode budget {max_len} exceeds the checkpoint's "
+              f"positional table ({pos_rows} rows); clamping to "
+              f"{pos_rows - 1}.")
+        max_len = pos_rows - 1
+    config["max_length"] = pos_rows
+    return max_len
+
+
 def test_model(
     test_set: ImageDataset,
     model: OCRModel,

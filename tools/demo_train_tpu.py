@@ -126,18 +126,13 @@ def main():
     # table must be exactly the TRAINED table: a bigger claimed max_length
     # would read NaN-filled embeddings past the real rows (jnp.take fill) and
     # silently corrupt the metrics. Clamp the decode budget to the table.
-    pos_rows = int(
-        state.params["decoder"]["pos_embedding"]["embedding"].shape[0]
-    )
-    eval_max_len = args.eval_max_len
-    if eval_max_len + 1 > pos_rows:
-        print(f"WARNING: --eval_max_len {eval_max_len} exceeds the trained "
-              f"positional table ({pos_rows} rows); clamping to "
-              f"{pos_rows - 1}.")
-        eval_max_len = pos_rows - 1
+    from texocr_tpu.evaluation.evaluate import clamp_to_pos_table
+
     eval_config = dict(config)
     eval_config["vocab_size"] = test_set.tokenizer.vocab_size
-    eval_config["max_length"] = pos_rows
+    eval_max_len = clamp_to_pos_table(
+        state.params, eval_config, args.eval_max_len
+    )
     if args.eval_batch_size:
         eval_config["batch_size"] = args.eval_batch_size
     eval_model = OCRModel(ModelConfig.from_dict(eval_config))
