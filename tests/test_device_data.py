@@ -131,8 +131,13 @@ def test_selection_varies_across_epochs(dataset):
     key = jax.random.PRNGKey(1)
     perms = []
     for perm_seed in (0, 1):
+        # Mirrors make_scan_train_step's chain: rng -> perm_seed ->
+        # bucket_tag -> stream tag.
         pk = jax.random.fold_in(
-            jax.random.fold_in(key, jnp.asarray(perm_seed)), 0x5E1EC7
+            jax.random.fold_in(
+                jax.random.fold_in(key, jnp.asarray(perm_seed)), 0
+            ),
+            0x5E1EC7,
         )
         scores = jnp.where(
             jnp.arange(n_padded) < b.n,

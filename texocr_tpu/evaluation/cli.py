@@ -69,8 +69,11 @@ def main(args):
                 glu=config.get("glu", True),
             )
         }
-        pos_len = params["params"]["decoder"]["pos_embedding"]["embedding"].shape[0]
-        config["max_length"] = int(pos_len)
+        from texocr_tpu.evaluation.evaluate import clamp_to_pos_table
+
+        args.max_len = clamp_to_pos_table(
+            params["params"], config, args.max_len
+        )
         model = OCRModel(ModelConfig.from_dict(config))
     elif args.checkpoint:
         from texocr_tpu.checkpoint.orbax_io import load_params_fast

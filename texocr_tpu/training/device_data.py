@@ -242,15 +242,19 @@ def make_scan_train_step(
 
     @partial(jax.jit, donate_argnums=(0,))
     def run(state: TrainState, images_u8, labels_all, n_steps, n_real,
-            start=0, perm_seed=0):
+            start=0, perm_seed=0, bucket_tag=0):
         n_padded = images_u8.shape[0]
         # Selection keys diverge from dropout keys via a tag fold so the two
         # streams never collide (dropout folds (rng, step) directly). The key
-        # depends only on perm_seed — NOT the entry step counter — so chunked
-        # calls of one epoch pass share one permutation and their disjoint
-        # ``start`` slices cover the bucket exactly once.
+        # depends on (perm_seed, bucket_tag) — NOT the entry step counter —
+        # so chunked calls of one epoch pass share one permutation (their
+        # disjoint ``start`` slices cover the bucket exactly once) while
+        # same-sized buckets don't replay identical orderings.
         perm_key = jax.random.fold_in(
-            jax.random.fold_in(state.dropout_rng, perm_seed), 0x5E1EC7
+            jax.random.fold_in(
+                jax.random.fold_in(state.dropout_rng, perm_seed), bucket_tag
+            ),
+            0x5E1EC7,
         )
         # Random order of the REAL rows as argsort of iid uniforms with the
         # padding rows pushed to the back: ``n_real`` stays a dynamic scalar

@@ -283,13 +283,16 @@ def _train_device_resident(
         epoch_acc = jnp.zeros((), jnp.float32)
         n_calls, n_steps = 0, 0
         t0 = time.time()
-        for key, steps, start in plan:
+        for key, steps, chunk_start in plan:
             b = data.buckets[key]
-            # perm_seed = epoch: all calls of a bucket's epoch pass share one
-            # on-device permutation and their disjoint `start` slices cover
-            # the bucket exactly once (device_data.make_scan_train_step).
+            # perm_seed = epoch and bucket_tag = the bucket's (h, w) packed
+            # into one int: all calls of a bucket's epoch pass share one
+            # on-device permutation (their disjoint `chunk_start` slices
+            # cover the bucket exactly once) while distinct buckets/epochs
+            # get decorrelated orders (device_data.make_scan_train_step).
             state, metrics = run_steps(
-                state, b.images, b.labels, steps, b.n, start, epoch
+                state, b.images, b.labels, steps, b.n, chunk_start, epoch,
+                key[0] * 4096 + key[1],
             )
             epoch_loss = epoch_loss + metrics["loss"] * steps
             epoch_acc = epoch_acc + metrics["token_acc"] * steps
