@@ -23,9 +23,9 @@ chunked or interleaved (chunked calls drawing FRESH permutations would
 bootstrap-sample: ~1/e of the rows unseen per epoch). The host loop
 (training/loop.py) interleaves buckets call-by-call, mirroring
 BucketBatchSampler's epoch structure (reference dataset.py:281-326) at call
-granularity. Augmentation is host-side PIL work and is therefore not
-available in this mode (augment defaults off in this framework anyway;
-reference applies it everywhere, a documented defect).
+granularity. Train-time augmentation runs ON DEVICE in this mode
+(``augment_batch``: random scale/translate/brightness, the stand-in for the
+host PIL RandomAffine); it defaults off, like the host path.
 
 The preprocessing here is bit-identical to the host path for grayscale
 sources: ``1 - uint8/255`` in f32 (transforms.to_model_array).
