@@ -6,8 +6,14 @@ from __future__ import annotations
 
 import argparse
 
-from texocr_tpu.config import load_config
-from texocr_tpu.serving.wrapper import TexOCR
+from texocr_tpu.utils import enable_compile_cache
+
+# Honors JAX_PLATFORMS (some PJRT plugins force-override it) and reuses
+# compiled executables across runs; must run before anything jits.
+enable_compile_cache()
+
+from texocr_tpu.config import load_config  # noqa: E402
+from texocr_tpu.serving.wrapper import TexOCR  # noqa: E402
 
 
 def main():

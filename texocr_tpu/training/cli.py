@@ -5,9 +5,15 @@ from __future__ import annotations
 
 import argparse
 
-from texocr_tpu.config import load_config
-from texocr_tpu.data.dataset import load_datasets
-from texocr_tpu.training.loop import train_model
+from texocr_tpu.utils import enable_compile_cache
+
+# Honors JAX_PLATFORMS (some PJRT plugins force-override it) and reuses
+# compiled executables across runs; must run before anything jits.
+enable_compile_cache()
+
+from texocr_tpu.config import load_config  # noqa: E402
+from texocr_tpu.data.dataset import load_datasets  # noqa: E402
+from texocr_tpu.training.loop import train_model  # noqa: E402
 
 
 def parse_args() -> argparse.Namespace:
