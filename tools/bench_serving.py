@@ -3,6 +3,12 @@
 Drives the micro-batching server with concurrent synthetic requests and
 reports p50/p99 per-request latency + sustained throughput. Run on the TPU:
 ``python tools/bench_serving.py [--requests 128] [--concurrency 16]``.
+
+``--http`` routes every request through the real HTTP stack
+(serving/http_server.py on an ephemeral localhost port, urllib clients with
+PNG-encoded bodies) instead of calling the batcher in-process, so the
+reported latency includes encode/decode + socket overhead a web deployment
+actually pays.
 """
 
 import argparse
@@ -30,6 +36,8 @@ def main():
     p.add_argument("--concurrency", type=int, default=16)
     p.add_argument("--max_len", type=int, default=128)
     p.add_argument("--max_batch", type=int, default=16)
+    p.add_argument("--http", action="store_true",
+                   help="route requests through the HTTP server")
     args = p.parse_args()
 
     from PIL import Image
@@ -75,16 +83,43 @@ def main():
     batcher.warmup([(h, w) for (w, h) in sizes])
     print(f"warmup took {time.time()-t0:.0f}s", file=sys.stderr)
 
+    server = None
+    if args.http:
+        import io
+        import urllib.request
+
+        from texocr_tpu.serving.http_server import make_server, serve_in_thread
+
+        server = make_server(batcher, port=0)
+        serve_in_thread(server)
+        host, port = server.server_address[:2]
+        url = f"http://{host}:{port}/ocr"
+
+        def encode(img):
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return buf.getvalue()
+
+        payloads = [encode(img) for img in images]
+
+        def do_request(i):
+            req = urllib.request.Request(url, data=payloads[i], method="POST")
+            with urllib.request.urlopen(req, timeout=600) as r:
+                json.loads(r.read())
+    else:
+        def do_request(i):
+            batcher(images[i])
+
     latencies = []
     t_start = time.time()
 
-    def request(img):
+    def request(i):
         t0 = time.time()
-        batcher(img)
+        do_request(i)
         latencies.append(time.time() - t0)
 
     with ThreadPoolExecutor(max_workers=args.concurrency) as pool:
-        list(pool.map(request, images))
+        list(pool.map(request, range(args.requests)))
     wall = time.time() - t_start
 
     lat = np.array(sorted(latencies))
@@ -96,7 +131,10 @@ def main():
         "p90_ms": round(float(np.percentile(lat, 90)) * 1000, 1),
         "p99_ms": round(float(np.percentile(lat, 99)) * 1000, 1),
         "max_len": args.max_len,
+        "transport": "http" if args.http else "in-process",
     }
+    if server is not None:
+        server.shutdown()
     batcher.shutdown()
     print(json.dumps(result))
 
