@@ -177,3 +177,47 @@ def test_telemetry_metrics_logger(tmp_path, capsys):
     with step_timer(holder):
         pass
     assert holder["seconds"] >= 0
+
+
+def test_render_factory_mathtext_backend(tmp_path):
+    """The binary-free mathtext backend executes the same contract for real:
+    typeset PNGs on pad-rule canvases, parse failures -> failed.txt -> prune,
+    and the loader consumes the output."""
+    data = tmp_path / "train"
+    data.mkdir()
+    eqs = [
+        r"\int _ { 0 } ^ { 1 } x ^ { 2 } d x",
+        r"\notarealcommandxyz { q }",
+        r"\frac { a + b } { c }",
+    ]
+    ids = ["eq_1.png", "eq_2.png", "eq_3.png"]
+    (data / "labels.txt").write_text("\n".join(eqs) + "\n")
+    (data / "ids.txt").write_text("\n".join(ids) + "\n")
+
+    render_images(str(data), num_processes=2, patch_size=16,
+                  renderer="mathtext")
+    prune_equations(str(data))
+
+    import numpy as np
+    from PIL import Image
+
+    for good in ("eq_1.png", "eq_3.png"):
+        p = data / "images" / good
+        assert p.exists(), good
+        with Image.open(p) as im:
+            assert im.mode == "L"
+            w, h = im.size
+            arr = np.asarray(im)
+        assert h % 16 == 0 and w % 64 == 0, (good, w, h)
+        assert (arr < 128).any(), f"{good} rendered blank"
+    assert not (data / "images" / "eq_2.png").exists()
+    assert "eq_2" in (data / "failed.txt").read_text()
+    assert (data / "ids_pruned.txt").read_text().splitlines() == [
+        "eq_1.png", "eq_3.png"
+    ]
+
+    from texocr_tpu.data import ImageDataset
+    from texocr_tpu.tokenizer import DEFAULT_VOCAB_PATH
+
+    ds = ImageDataset(str(data), DEFAULT_VOCAB_PATH, dataset_size=10)
+    assert len(ds) == 2

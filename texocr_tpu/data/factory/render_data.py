@@ -1,4 +1,4 @@
-"""Render LaTeX equations to PNGs with latex/dvipng/ImageMagick.
+"""Render LaTeX equations to PNGs (latex/dvipng/ImageMagick or mathtext).
 
 Reference-equivalent offline factory (reference data_wrangling/render_data.py):
 each equation becomes a standalone ``$\\displaystyle eq$`` document, compiled
@@ -9,8 +9,20 @@ then center-padded by ImageMagick ``convert`` so the canvas is a multiple of
 TPU input pipeline relies on (render_data.py:81-92). Failures are logged to
 failed.txt and pruned out of labels/ids (render_data.py:140-171).
 
-The external binaries are probed up front and the CLI exits with a clear
-message when absent (this image does not ship LaTeX).
+Two interchangeable render backends:
+
+- ``latex`` — the reference's subprocess chain (latex -> dvipng -> convert).
+  Binaries are probed up front with a clear message when absent.
+- ``mathtext`` — matplotlib's built-in TeX-subset typesetter: real math
+  typesetting (fraction bars, radicals, kerning, Computer-Modern-style
+  glyphs) with NO external binaries, so the factory executes end to end in
+  environments without a TeX install. Same random-dpi draw, tight crop,
+  center-pad-to-bucket rule, and failed.txt/prune failure path; equations
+  using TeX commands outside the mathtext subset simply land in failed.txt,
+  exactly like a latex compile error would.
+
+``--renderer auto`` (default) uses latex when the binaries exist, else
+mathtext.
 
 CLI: ``python -m texocr_tpu.data.factory.render_data data/train -c config/data_config.yml``
 """
@@ -65,6 +77,64 @@ def _png_size(path: Path):
     return w, h
 
 
+def _pad_extents(w: int, h: int, patch_size: int):
+    """The reference's convert -extent rule: height to the next multiple of
+    patch_size, width to the next multiple of 4*patch_size
+    (render_data.py:81-92)."""
+    new_h = h + (patch_size - h % patch_size) % patch_size
+    w_interval = 4 * patch_size
+    new_w = w + (w_interval - w % w_interval) % w_interval
+    return new_w, new_h
+
+
+def render_one_mathtext(task) -> None:
+    """Binary-free backend: matplotlib mathtext -> tight grayscale PNG at a
+    random dpi in [100, 150] -> center-pad onto the bucket canvas (PIL stands
+    in for ImageMagick convert). Parse errors (commands outside the mathtext
+    TeX subset) take the same failed.txt path as a latex compile error."""
+    equation, data_dir, image_id, patch_size, failed = task
+    equation = equation.strip()
+    if not equation:
+        return
+
+    image_dir = Path(data_dir) / "images"
+    image_dir.mkdir(parents=True, exist_ok=True)
+    base = image_id[:-4]
+    png = image_dir / f"{base}.png"
+
+    try:
+        import io
+
+        import matplotlib
+        matplotlib.use("Agg", force=True)
+        import numpy as np
+        from matplotlib import mathtext
+        from PIL import Image
+
+        dpi = random.randint(100, 150)
+        buf = io.BytesIO()
+        # math_to_image sizes the figure to the typeset math (dvipng -T tight
+        # equivalent). mathtext needs the $...$ wrapper; \displaystyle sizing
+        # is the default for its sums/integrals at this entry point.
+        mathtext.math_to_image(f"${equation}$", buf, dpi=dpi, format="png")
+        buf.seek(0)
+        img = Image.open(buf).convert("L")
+        arr = np.asarray(img)
+        # Tight-crop any residual margin so the pad rule sees ink extents
+        # (math_to_image keeps a small face border).
+        ink = np.argwhere(arr < 250)
+        if ink.size:
+            (y0, x0), (y1, x1) = ink.min(0), ink.max(0) + 1
+            img = img.crop((int(x0), int(y0), int(x1), int(y1)))
+        new_w, new_h = _pad_extents(img.width, img.height, patch_size)
+        canvas = Image.new("L", (new_w, new_h), 255)
+        canvas.paste(img, ((new_w - img.width) // 2, (new_h - img.height) // 2))
+        canvas.save(png)
+    except Exception:
+        failed.append((base, equation))
+        png.unlink(missing_ok=True)
+
+
 def render_one(task) -> None:
     equation, data_dir, image_id, patch_size, failed = task
     equation = equation.strip()
@@ -97,9 +167,7 @@ def render_one(task) -> None:
 
     if paths["png"].exists():
         w, h = _png_size(paths["png"])
-        new_h = h + (patch_size - h % patch_size) % patch_size
-        w_interval = 4 * patch_size
-        new_w = w + (w_interval - w % w_interval) % w_interval
+        new_w, new_h = _pad_extents(w, h, patch_size)
         subprocess.run(
             ["convert", str(paths["png"]), "-gravity", "center",
              "-extent", f"{new_w}x{new_h}", str(paths["png"])],
@@ -108,10 +176,11 @@ def render_one(task) -> None:
 
 
 def render_images(data_dir: str, num_processes: Optional[int] = None,
-                  patch_size: int = 16) -> None:
+                  patch_size: int = 16, renderer: str = "latex") -> None:
     root = Path(data_dir)
     equations = [l for l in (root / "labels.txt").read_text().splitlines() if l.strip()]
     ids = [l for l in (root / "ids.txt").read_text().splitlines() if l.strip()]
+    render_fn = render_one_mathtext if renderer == "mathtext" else render_one
 
     with Manager() as manager:
         failed = manager.list()
@@ -120,7 +189,7 @@ def render_images(data_dir: str, num_processes: Optional[int] = None,
             for i, eq in enumerate(equations)
         ]
         with Pool(processes=num_processes or cpu_count()) as pool:
-            for i, _ in enumerate(pool.imap(render_one, tasks)):
+            for i, _ in enumerate(pool.imap(render_fn, tasks)):
                 if (i + 1) % 500 == 0:
                     print(f"rendered {i + 1}/{len(tasks)}")
         print(f"Rendered {len(tasks)} equations, {len(failed)} failures.")
@@ -151,18 +220,29 @@ def main() -> None:
     p = argparse.ArgumentParser(description="Render LaTeX equations to images.")
     p.add_argument("data_dir", type=str)
     p.add_argument("-c", "--config", type=str, default="config/data_config.yml")
+    p.add_argument("--renderer", choices=["auto", "latex", "mathtext"],
+                   default="auto",
+                   help="latex = the reference's subprocess chain; mathtext "
+                        "= matplotlib's TeX subset, no binaries needed; "
+                        "auto = latex when installed, else mathtext")
     args = p.parse_args()
 
-    err = check_binaries()
-    if err:
-        print(err, file=sys.stderr)
-        sys.exit(2)
+    renderer = args.renderer
+    if renderer == "auto":
+        renderer = "mathtext" if check_binaries() else "latex"
+        print(f"renderer: {renderer} (auto-detected)")
+    elif renderer == "latex":
+        err = check_binaries()
+        if err:
+            print(err, file=sys.stderr)
+            sys.exit(2)
 
     config = load_config(args.config)
     render_images(
         args.data_dir,
         num_processes=config.get("num_processes"),
         patch_size=config.get("patch_size", 16),
+        renderer=renderer,
     )
     prune_equations(args.data_dir)
 
