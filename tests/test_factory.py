@@ -221,3 +221,29 @@ def test_render_factory_mathtext_backend(tmp_path):
 
     ds = ImageDataset(str(data), DEFAULT_VOCAB_PATH, dataset_size=10)
     assert len(ds) == 2
+
+
+def test_typeset_wrap_preserves_tokens_and_canvas_rule():
+    """--typeset rendering: line wrapping splits only at top-level operators
+    (recombining the lines restores the exact label) and the rendered canvas
+    follows the realistic profile rule."""
+    import sys
+    sys.path.insert(0, "tools")
+    import numpy as np
+    from make_demo_dataset import (
+        REALISTIC_PROFILES, _wrap_top_level, render_realistic_typeset,
+    )
+
+    eq = (r"\frac { a + b } { c } + \sin x = \sqrt { \frac { 1 } { z } } "
+          r"- \int _ { 0 } ^ { 1 } y ^ { 2 } d y")
+    lines = _wrap_top_level(eq, char_budget=12)
+    assert len(lines) > 1
+    assert " ".join(lines) == eq  # no token lost or reordered
+    for line in lines:  # every line is balanced (independently renderable)
+        assert line.count("{") == line.count("}")
+
+    img = render_realistic_typeset(eq, np.random.default_rng(0))
+    assert (img.height, img.width) in [
+        (h, w) for h, w in REALISTIC_PROFILES
+    ]
+    assert (np.asarray(img) < 128).any()

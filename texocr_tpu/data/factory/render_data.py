@@ -87,6 +87,36 @@ def _pad_extents(w: int, h: int, patch_size: int):
     return new_w, new_h
 
 
+def mathtext_png(equation: str, dpi: int):
+    """Typeset ONE equation with matplotlib mathtext -> tight grayscale PIL
+    image (the dvipng -T tight equivalent; no padding). Raises on TeX
+    commands outside the mathtext subset — callers map that onto their
+    failure path."""
+    import io
+
+    import matplotlib
+    matplotlib.use("Agg", force=True)
+    import numpy as np
+    from matplotlib import mathtext
+    from PIL import Image
+
+    buf = io.BytesIO()
+    # math_to_image sizes the figure to the typeset math. mathtext needs the
+    # $...$ wrapper; \displaystyle sizing is the default for its
+    # sums/integrals at this entry point.
+    mathtext.math_to_image(f"${equation}$", buf, dpi=dpi, format="png")
+    buf.seek(0)
+    img = Image.open(buf).convert("L")
+    arr = np.asarray(img)
+    # Tight-crop any residual margin so the pad rule sees ink extents
+    # (math_to_image keeps a small face border).
+    ink = np.argwhere(arr < 250)
+    if ink.size:
+        (y0, x0), (y1, x1) = ink.min(0), ink.max(0) + 1
+        img = img.crop((int(x0), int(y0), int(x1), int(y1)))
+    return img
+
+
 def render_one_mathtext(task) -> None:
     """Binary-free backend: matplotlib mathtext -> tight grayscale PNG at a
     random dpi in [100, 150] -> center-pad onto the bucket canvas (PIL stands
@@ -103,29 +133,9 @@ def render_one_mathtext(task) -> None:
     png = image_dir / f"{base}.png"
 
     try:
-        import io
-
-        import matplotlib
-        matplotlib.use("Agg", force=True)
-        import numpy as np
-        from matplotlib import mathtext
         from PIL import Image
 
-        dpi = random.randint(100, 150)
-        buf = io.BytesIO()
-        # math_to_image sizes the figure to the typeset math (dvipng -T tight
-        # equivalent). mathtext needs the $...$ wrapper; \displaystyle sizing
-        # is the default for its sums/integrals at this entry point.
-        mathtext.math_to_image(f"${equation}$", buf, dpi=dpi, format="png")
-        buf.seek(0)
-        img = Image.open(buf).convert("L")
-        arr = np.asarray(img)
-        # Tight-crop any residual margin so the pad rule sees ink extents
-        # (math_to_image keeps a small face border).
-        ink = np.argwhere(arr < 250)
-        if ink.size:
-            (y0, x0), (y1, x1) = ink.min(0), ink.max(0) + 1
-            img = img.crop((int(x0), int(y0), int(x1), int(y1)))
+        img = mathtext_png(equation, random.randint(100, 150))
         new_w, new_h = _pad_extents(img.width, img.height, patch_size)
         canvas = Image.new("L", (new_w, new_h), 255)
         canvas.paste(img, ((new_w - img.width) // 2, (new_h - img.height) // 2))

@@ -139,6 +139,87 @@ def render_realistic(eq: str, rng):
     return canvas
 
 
+def _wrap_top_level(eq: str, char_budget: int):
+    """Split the token stream into lines at TOP-LEVEL operator boundaries
+    (brace depth 0), so every line is independently valid LaTeX. Width is
+    budgeted on the display length (backslashes/braces are not glyphs)."""
+    def display_len(s):
+        return len(s.replace("\\", "").replace("{", "").replace("}", ""))
+
+    segs, cur, depth = [], [], 0
+    for tok in eq.split():
+        if tok in OPS and depth == 0 and cur:
+            segs.append(" ".join(cur))
+            cur = [tok]
+        else:
+            cur.append(tok)
+        if tok == "{":
+            depth += 1
+        elif tok == "}":
+            depth -= 1
+    if cur:
+        segs.append(" ".join(cur))
+
+    lines, line = [], ""
+    for seg in segs:
+        cand = f"{line} {seg}".strip()
+        if line and display_len(cand) > char_budget:
+            lines.append(line)
+            line = seg
+        else:
+            line = cand
+    if line:
+        lines.append(line)
+    return lines
+
+
+def render_realistic_typeset(eq: str, rng):
+    """Real math typesetting (matplotlib mathtext — actual fraction bars,
+    radicals, kerning, invisible grouping braces the model must infer from
+    layout) wrapped onto the same profile canvases as render_realistic.
+    Random dpi in [100, 150] like the reference render chain
+    (reference render_data.py:62); oversized assemblies downscale into the
+    max canvas like render_realistic."""
+    from PIL import Image
+
+    from texocr_tpu.data.factory.render_data import mathtext_png
+
+    dpi = int(rng.integers(100, 151))
+    # ~10 px/glyph at dpi 125; budget display chars for the 1008-wide canvas.
+    lines = _wrap_top_level(eq, char_budget=int(88 * 125 / dpi))
+    imgs = [mathtext_png(line, dpi) for line in lines]
+    gap = max(2, dpi // 25)
+    w = max(im.width for im in imgs) + 8
+    h = sum(im.height for im in imgs) + gap * (len(imgs) - 1) + 8
+    img = Image.new("L", (w, h), 255)
+    y = 4
+    for im in imgs:
+        img.paste(im, (4, y))
+        y += im.height + gap
+    w, h = img.size
+
+    for ph, pw in REALISTIC_PROFILES:
+        if h <= ph and w <= pw:
+            ch, cw = ph, pw
+            break
+    else:  # oversized: downscale into the max canvas
+        ch, cw = REALISTIC_PROFILES[-1]
+        scale = min(ch / h, cw / w)
+        img = img.resize((max(1, int(w * scale)), max(1, int(h * scale))),
+                         Image.BILINEAR)
+        w, h = img.size
+    canvas = Image.new("L", (cw, ch), 255)
+    canvas.paste(img, ((cw - w) // 2, (ch - h) // 2))
+    return canvas
+
+
+def _typeset_task(task):
+    """Pool worker: render one equation deterministically (per-item seed)."""
+    eq, path, seed = task
+    rng = np.random.default_rng(seed)
+    render_realistic_typeset(eq, rng).save(path)
+
+
 def realistic_equation(rng, term_scale=1):
     """Mixture of lengths: ~30% short, ~40% medium, ~30% long (the long tail
     is what pushes BPE labels into the 100-300 token range). ``term_scale``
@@ -174,6 +255,14 @@ def main():
                         "flat atom sampling, so the LM floor sits near the "
                         "vocabulary entropy and loss can only drop by reading "
                         "glyphs")
+    p.add_argument("--typeset", action="store_true",
+                   help="render with real math typesetting (matplotlib "
+                        "mathtext: fraction bars, radicals, kerning, "
+                        "invisible grouping braces) instead of the PIL "
+                        "bitmap font — the closest in-image stand-in for "
+                        "the reference's latex/dvipng output")
+    p.add_argument("--processes", type=int, default=None,
+                   help="render pool size for --typeset (default: all CPUs)")
     args = p.parse_args()
 
     rng = np.random.default_rng(args.seed)
@@ -199,11 +288,22 @@ def main():
     for split, labels in splits.items():
         root = os.path.join(args.out, split)
         os.makedirs(os.path.join(root, "images"), exist_ok=True)
-        ids = []
-        for i, eq in enumerate(labels):
-            name = f"eq_{i:05d}.png"
-            render_fn(eq, rng).save(os.path.join(root, "images", name))
-            ids.append(name)
+        ids = [f"eq_{i:05d}.png" for i in range(len(labels))]
+        if args.typeset:
+            from multiprocessing import Pool, cpu_count
+
+            tasks = [
+                (eq, os.path.join(root, "images", name),
+                 int(rng.integers(0, 2**31)))
+                for eq, name in zip(labels, ids)
+            ]
+            with Pool(processes=args.processes or cpu_count()) as pool:
+                for i, _ in enumerate(pool.imap(_typeset_task, tasks, 64)):
+                    if (i + 1) % 5000 == 0:
+                        print(f"  typeset {i + 1}/{len(tasks)}")
+        else:
+            for eq, name in zip(labels, ids):
+                render_fn(eq, rng).save(os.path.join(root, "images", name))
         with open(os.path.join(root, "labels.txt"), "w") as f:
             f.write("\n".join(labels) + "\n")
         with open(os.path.join(root, "ids.txt"), "w") as f:
