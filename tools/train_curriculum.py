@@ -89,6 +89,18 @@ STAGES = {
                "--eval_batch_size", "32", "--eval_batches", "150",
                "--save_freq", "10", "--val_freq", "10"],
     ),
+    # T: real math typesetting (mathtext) — actual fraction bars/radicals/
+    # kerning with invisible grouping braces, the closest in-image stand-in
+    # for the reference's latex/dvipng renders. Fine-tunes the grounded
+    # chain onto typeset glyph shapes.
+    "T": dict(
+        data="data_typeset48k",
+        dataset=["--n", "48000", "--realistic", "--typeset", "--seed", "17"],
+        train=["--epochs", "40", "--lr", "3e-4", "--warmup_steps", "200",
+               "--decay_steps", "48000", "--eval_max_len", "475",
+               "--eval_batch_size", "32", "--eval_batches", "225",
+               "--save_freq", "10", "--val_freq", "10"],
+    ),
 }
 
 ORDER = list(STAGES)
