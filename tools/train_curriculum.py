@@ -94,11 +94,11 @@ STAGES = {
     # for the reference's latex/dvipng renders. Fine-tunes the grounded
     # chain onto typeset glyph shapes.
     "T": dict(
-        data="data_typeset48k",
-        dataset=["--n", "48000", "--realistic", "--typeset", "--seed", "17"],
+        data="data_typeset24k",
+        dataset=["--n", "24000", "--realistic", "--typeset", "--seed", "17"],
         train=["--epochs", "40", "--lr", "3e-4", "--warmup_steps", "200",
-               "--decay_steps", "48000", "--eval_max_len", "475",
-               "--eval_batch_size", "32", "--eval_batches", "225",
+               "--decay_steps", "24000", "--eval_max_len", "475",
+               "--eval_batch_size", "32", "--eval_batches", "112",
                "--save_freq", "10", "--val_freq", "10"],
     ),
 }
