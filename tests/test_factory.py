@@ -227,8 +227,10 @@ def test_typeset_wrap_preserves_tokens_and_canvas_rule():
     """--typeset rendering: line wrapping splits only at top-level operators
     (recombining the lines restores the exact label) and the rendered canvas
     follows the realistic profile rule."""
+    import os
     import sys
-    sys.path.insert(0, "tools")
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     import numpy as np
     from make_demo_dataset import (
         REALISTIC_PROFILES, _wrap_top_level, render_realistic_typeset,

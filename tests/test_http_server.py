@@ -113,3 +113,67 @@ def test_unknown_route_is_404(server_url):
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(f"{server_url}/nope", timeout=30)
     assert exc.value.code == 404
+
+
+def test_error_paths_close_keepalive_connection(server_url):
+    """Error responses that skip reading the body must close the connection:
+    otherwise the unread body bytes desync the next request on a reused
+    HTTP/1.1 connection (requests.Session, load balancers)."""
+    import http.client
+    from urllib.parse import urlparse
+
+    u = urlparse(server_url)
+    conn = http.client.HTTPConnection(u.hostname, u.port, timeout=30)
+    try:
+        conn.request("POST", "/nope", body=b"x" * 1024,
+                     headers={"Content-Type": "application/octet-stream"})
+        resp = conn.getresponse()
+        assert resp.status == 404
+        assert resp.getheader("Connection") == "close"
+        resp.read()
+    finally:
+        conn.close()
+
+
+def test_healthy_post_keeps_connection_alive(server_url):
+    """Two requests over ONE connection: the happy path consumes the body,
+    so keep-alive must survive and the second request must parse cleanly."""
+    import http.client
+    from urllib.parse import urlparse
+
+    u = urlparse(server_url)
+    conn = http.client.HTTPConnection(u.hostname, u.port, timeout=120)
+    try:
+        for _ in range(2):
+            conn.request("POST", "/ocr", body=_png_bytes(),
+                         headers={"Content-Type": "image/png"})
+            resp = conn.getresponse()
+            assert resp.status == 200
+            payload = json.loads(resp.read())
+            assert "latex" in payload
+    finally:
+        conn.close()
+
+
+def test_503_until_warm():
+    """require_warm servers reject /ocr with 503 while batcher.warm is
+    False and open up once it flips."""
+    import types
+
+    from texocr_tpu.serving.http_server import make_server, serve_in_thread
+
+    stub = types.SimpleNamespace(warm=False, mode="greedy", max_len=6,
+                                 max_batch=4)
+    server = make_server(stub, port=0, require_warm=True)
+    serve_in_thread(server)
+    host, port = server.server_address[:2]
+    url = f"http://{host}:{port}"
+    try:
+        req = urllib.request.Request(f"{url}/ocr", data=b"zz", method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc.value.code == 503
+        with urllib.request.urlopen(f"{url}/healthz", timeout=30) as r:
+            assert json.loads(r.read())["warm"] is False
+    finally:
+        server.shutdown()

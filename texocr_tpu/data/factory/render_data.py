@@ -122,7 +122,7 @@ def render_one_mathtext(task) -> None:
     random dpi in [100, 150] -> center-pad onto the bucket canvas (PIL stands
     in for ImageMagick convert). Parse errors (commands outside the mathtext
     TeX subset) take the same failed.txt path as a latex compile error."""
-    equation, data_dir, image_id, patch_size, failed = task
+    equation, data_dir, image_id, patch_size, failed, seed = task
     equation = equation.strip()
     if not equation:
         return
@@ -135,7 +135,10 @@ def render_one_mathtext(task) -> None:
     try:
         from PIL import Image
 
-        img = mathtext_png(equation, random.randint(100, 150))
+        # Per-task RNG: fork-started Pool workers inherit the parent's
+        # global `random` state, so a module-level draw would produce the
+        # SAME dpi sequence in every worker.
+        img = mathtext_png(equation, random.Random(seed).randint(100, 150))
         new_w, new_h = _pad_extents(img.width, img.height, patch_size)
         canvas = Image.new("L", (new_w, new_h), 255)
         canvas.paste(img, ((new_w - img.width) // 2, (new_h - img.height) // 2))
@@ -146,7 +149,7 @@ def render_one_mathtext(task) -> None:
 
 
 def render_one(task) -> None:
-    equation, data_dir, image_id, patch_size, failed = task
+    equation, data_dir, image_id, patch_size, failed, seed = task
     equation = equation.strip()
     if not equation:
         return
@@ -163,7 +166,7 @@ def render_one(task) -> None:
              str(image_dir), str(paths["tex"])],
             check=True, capture_output=True,
         )
-        dpi = random.randint(100, 150)
+        dpi = random.Random(seed).randint(100, 150)  # per-task (see above)
         subprocess.run(
             ["dvipng", "-D", str(dpi), "-T", "tight", "-o", str(paths["png"]),
              str(paths["dvi"])],
@@ -195,7 +198,7 @@ def render_images(data_dir: str, num_processes: Optional[int] = None,
     with Manager() as manager:
         failed = manager.list()
         tasks = [
-            (eq, data_dir, ids[i], patch_size, failed)
+            (eq, data_dir, ids[i], patch_size, failed, i)
             for i, eq in enumerate(equations)
         ]
         with Pool(processes=num_processes or cpu_count()) as pool:
@@ -239,7 +242,8 @@ def main() -> None:
 
     renderer = args.renderer
     if renderer == "auto":
-        renderer = "mathtext" if check_binaries() else "latex"
+        missing = check_binaries()  # error string when binaries are absent
+        renderer = "mathtext" if missing else "latex"
         print(f"renderer: {renderer} (auto-detected)")
     elif renderer == "latex":
         err = check_binaries()

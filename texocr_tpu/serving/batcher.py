@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from typing import Optional, Tuple
 
@@ -36,12 +37,20 @@ class ServingBatcher:
         max_len: int = 350,
         mode: str = "greedy",
         batch_sizes: Optional[Tuple[int, ...]] = None,
+        request_timeout_s: Optional[float] = None,
     ):
         self.engine = engine
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
         self.max_len = max_len
         self.mode = mode
+        # Server-side guard against requests stuck behind a long compile or
+        # a stalled device: a request older than this when its batch forms
+        # fails with TimeoutError instead of occupying the chip.
+        self.request_timeout_s = request_timeout_s
+        # Flipped by warmup() / the first successful batch; the HTTP front
+        # end reports it on /healthz and can 503 until warm.
+        self.warm = False
         # Every padded batch size is a separate XLA compile per canvas; keep
         # the set tiny (solo requests + full batches) so compiles are bounded
         # and can all be warmed up front.
@@ -70,12 +79,18 @@ class ServingBatcher:
                         canvases, max_len=self.max_len, mode=self.mode
                     )
                 )
+        self.warm = True
 
     def submit(self, img) -> Future:
-        """Enqueue a PIL image; the future resolves to (tokens, latex)."""
+        """Enqueue a PIL image; the future resolves to (tokens, latex).
+
+        Raises RuntimeError once shutdown() has been called — there is no
+        worker left to resolve the future."""
+        if self._stop.is_set():
+            raise RuntimeError("ServingBatcher is shut down")
         fut: Future = Future()
         canvas = self.engine.preprocess(img)  # (1, H, W, 1) on a bucket canvas
-        self._q.put((canvas, fut))
+        self._q.put((canvas, fut, time.monotonic()))
         return fut
 
     def __call__(self, img) -> Tuple[list, str]:
@@ -85,6 +100,17 @@ class ServingBatcher:
         self._stop.set()
         self._q.put(None)
         self._worker.join(timeout=5)
+        # Fail anything that raced into the queue around the sentinel so no
+        # caller blocks forever on an orphaned future.
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item[1].set_exception(
+                    RuntimeError("ServingBatcher shut down before decode")
+                )
 
     # -- worker ----------------------------------------------------------------
 
@@ -96,11 +122,9 @@ class ServingBatcher:
             return None
         items = [first]
         deadline = self.max_wait
-        import time
-
-        t0 = time.time()
+        t0 = time.monotonic()
         while len(items) < self.max_batch:
-            remaining = deadline - (time.time() - t0)
+            remaining = deadline - (time.monotonic() - t0)
             if remaining <= 0:
                 break
             try:
@@ -112,14 +136,33 @@ class ServingBatcher:
             items.append(item)
         return items
 
+    def _expire(self, items):
+        """Fail requests that have already waited past request_timeout_s."""
+        if self.request_timeout_s is None:
+            return items
+        now = time.monotonic()
+        live = []
+        for canvas, fut, t_in in items:
+            if now - t_in > self.request_timeout_s:
+                fut.set_exception(
+                    TimeoutError(
+                        f"request waited {now - t_in:.1f}s "
+                        f"(> {self.request_timeout_s}s) before decode"
+                    )
+                )
+            else:
+                live.append((canvas, fut, t_in))
+        return live
+
     def _run(self):
         while not self._stop.is_set():
             items = self._drain()
             if items is None:
                 return
+            items = self._expire(items)
             # Group by canvas shape: same-bucket requests batch together.
             groups = {}
-            for canvas, fut in items:
+            for canvas, fut, _ in items:
                 groups.setdefault(canvas.shape[1:3], []).append((canvas, fut))
             for shape, group in groups.items():
                 canvases = np.concatenate([c for c, _ in group], axis=0)
@@ -136,6 +179,7 @@ class ServingBatcher:
                             canvases, max_len=self.max_len, mode=self.mode
                         )
                     )
+                    self.warm = True
                     for row, (_, fut) in zip(tokens[:n], group):
                         fut.set_result(self.engine.postprocess(row))
                 except Exception as e:  # propagate to all waiters

@@ -50,7 +50,14 @@ def cross_attention_maps(engine, canvas_u8: np.ndarray, token_ids: list[int]):
 
     _, maps = model.apply(engine.params, seq, enc, method=fwd)
     # Sub-layer order per decoder layer is (self, cross, mlp); the attention
-    # intermediates alternate [self, cross] (models/attention.py).
+    # intermediates alternate [self, cross] (models/attention.py). Without
+    # cross-attention the [1::2] slice would mislabel self-attention maps.
+    num_layers = cfg.decoder.num_layers
+    if len(maps) != 2 * num_layers:
+        raise ValueError(
+            f"expected [self, cross] maps per layer ({2 * num_layers}), got "
+            f"{len(maps)} — is the decoder configured with cross_attend?"
+        )
     cross = maps[1::2]
     return np.stack([np.asarray(m[0]) for m in cross])  # (L, H, T, N)
 
