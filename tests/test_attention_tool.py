@@ -8,6 +8,7 @@ import numpy as np
 from texocr_tpu.tokenizer import DEFAULT_VOCAB_PATH
 
 from tests.tiny import TINY_CONFIG
+import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
@@ -24,6 +25,7 @@ def _engine():
     return TexOCR(cfg)
 
 
+@pytest.mark.slow
 def test_cross_attention_maps_shape_and_normalization():
     from attention_maps import cross_attention_maps
 

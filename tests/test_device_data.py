@@ -201,6 +201,7 @@ def test_plan_covers_each_bucket_once():
     assert per_bucket[(32, 64)] == [(0, 1)]
 
 
+@pytest.mark.slow
 def test_device_data_resume(dataset, tmp_path):
     """Resume restores params/opt_state/step and continues training in
     device_data mode (process-restart recovery, VERDICT aux subsystem)."""

@@ -43,6 +43,7 @@ def _seq_logprob(model, params, enc, tokens):
     return jnp.sum(jnp.where(live, picked, 0.0), axis=1)
 
 
+@pytest.mark.slow
 def test_greedy_matches_full_reforward(setup):
     model, params, enc = setup
     toks = greedy_decode(

@@ -230,6 +230,7 @@ def test_warm_start_params_shape_adaptation():
     )
 
 
+@pytest.mark.slow
 def test_train_loop_warm_start(dataset, tmp_path):
     """init_from warm-starts a new run's params from a prior checkpoint."""
     from texocr_tpu.checkpoint.orbax_io import latest_checkpoint, load_checkpoint

@@ -73,6 +73,7 @@ def _nhwc(x):
     return np.transpose(x, (0, 2, 3, 1))
 
 
+@pytest.mark.slow
 def test_converted_tree_matches_init_structure(model_and_params, golden):
     """The converted tree has exactly the structure model.init produces."""
     model, params = model_and_params

@@ -49,17 +49,20 @@ def test_devices_available():
     assert jax.device_count() == 8  # conftest forces the fake CPU platform
 
 
+@pytest.mark.slow
 def test_loss_decreases_data_parallel():
     losses = _run_steps({"data": 8})
     assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_loss_decreases_tensor_parallel():
     losses = _run_steps({"data": 4, "model": 2})
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_dp_and_tp_agree():
     """The same batch/seed gives the same loss trajectory regardless of mesh
     layout (within fp tolerance)."""
@@ -68,6 +71,7 @@ def test_dp_and_tp_agree():
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mesh_spec", [{"data": 8}, {"data": 2, "model": 4}])
 def test_sharded_decode_matches_single_device(mesh_spec):
     """The KV-cached greedy decode (and the beam decode) produce the same
@@ -104,6 +108,7 @@ def test_sharded_decode_matches_single_device(mesh_spec):
     np.testing.assert_array_equal(np.asarray(single[1]), np.asarray(sharded[1]))
 
 
+@pytest.mark.slow
 def test_unmasked_parity_loss_mode():
     model = OCRModel(tiny_model_config())
     tx = get_optimizer("Adam", {"lr": 1e-3})
