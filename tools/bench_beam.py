@@ -31,7 +31,6 @@ from texocr_tpu.models import OCRModel  # noqa: E402
 from texocr_tpu.models.beam import beam_decode  # noqa: E402
 from __graft_entry__ import _flagship_config  # noqa: E402
 
-BATCH = 8
 BEAM = 5
 DECODE_STEPS = 512
 H, W = 160, 1008
@@ -42,7 +41,14 @@ def log(msg):
 
 
 def main():
+    import argparse
     import dataclasses
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--batches", type=str, default="8",
+                   help="comma-separated batch sizes to sweep, e.g. 8,16,32")
+    args = p.parse_args()
+    batch_sizes = [int(b) for b in args.batches.split(",")]
 
     dev = jax.devices()[0]
     log(f"device: {dev}")
@@ -64,15 +70,8 @@ def main():
         )
     params = jax.device_put(params, dev)
 
-    rng = np.random.default_rng(0)
-    batches = [
-        jax.device_put(
-            jnp.asarray(rng.random((BATCH, H, W, 1), dtype=np.float32)), dev
-        )
-        for _ in range(4)
-    ]
-
     cfg = model.config
+    rng = np.random.default_rng(0)
 
     @jax.jit
     def decode(params, images):
@@ -89,29 +88,41 @@ def main():
         )
         return jnp.sum(tokens)  # checksum forces full execution
 
-    t0 = time.time()
-    float(decode(params, batches[0]))
-    log(f"compile + first run: {time.time()-t0:.1f}s")
-
-    times = []
-    for i in range(3):
+    for batch in batch_sizes:
+        batches = [
+            jax.device_put(
+                jnp.asarray(rng.random((batch, H, W, 1), dtype=np.float32)),
+                dev,
+            )
+            for _ in range(4)
+        ]
         t0 = time.time()
-        float(decode(params, batches[1 + i]))
-        times.append(time.time() - t0)
-    best = min(times)
-    ips = BATCH / best
-    log(f"runs: {[f'{t:.3f}s' for t in times]} -> {ips:.2f} images/sec")
+        float(decode(params, batches[0]))
+        log(f"b{batch} compile + first run: {time.time()-t0:.1f}s")
 
-    print(
-        json.dumps(
-            {
-                "metric": "batch8_beam5_decode_512steps_images_per_sec",
-                "value": round(ips, 2),
-                "unit": "images/sec/chip",
-                "vs_round1": round(ips / 6.5, 2),
-            }
+        times = []
+        for i in range(3):
+            t0 = time.time()
+            float(decode(params, batches[1 + i]))
+            times.append(time.time() - t0)
+        best = min(times)
+        ips = batch / best
+        log(f"b{batch} runs: {[f'{t:.3f}s' for t in times]} "
+            f"-> {ips:.2f} images/sec")
+
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        f"batch{batch}_beam5_decode_512steps_images_per_sec"
+                    ),
+                    "value": round(ips, 2),
+                    "unit": "images/sec/chip",
+                    "vs_round1": round(ips / 6.5, 2),
+                }
+            ),
+            flush=True,
         )
-    )
 
 
 if __name__ == "__main__":
