@@ -38,6 +38,9 @@ def main():
     p.add_argument("--max_batch", type=int, default=16)
     p.add_argument("--http", action="store_true",
                    help="route requests through the HTTP server")
+    p.add_argument("--mode", type=str, default="greedy",
+                   choices=["greedy", "beam"],
+                   help="decode mode (beam = beam-5)")
     args = p.parse_args()
 
     from PIL import Image
@@ -64,7 +67,7 @@ def main():
         }
     )
     batcher = ServingBatcher(engine, max_batch=args.max_batch,
-                             max_len=args.max_len)
+                             max_len=args.max_len, mode=args.mode)
 
     rng = np.random.default_rng(0)
     sizes = [(320, 96), (448, 96), (640, 160)]  # (w, h) render-rule canvases
@@ -131,6 +134,7 @@ def main():
         "p90_ms": round(float(np.percentile(lat, 90)) * 1000, 1),
         "p99_ms": round(float(np.percentile(lat, 99)) * 1000, 1),
         "max_len": args.max_len,
+        "mode": args.mode,
         "transport": "http" if args.http else "in-process",
     }
     if server is not None:
