@@ -101,6 +101,18 @@ STAGES = {
                "--eval_batch_size", "32", "--eval_batches", "112",
                "--save_freq", "10", "--val_freq", "10"],
     ),
+    # U: typeset at stage-F data scale (48k uniques) — the escalation step
+    # when the 24k typeset fine-tune lands short of the exact-match target
+    # (the PIL chain showed exact match is data-bound: 24k -> 93.3%,
+    # 48k -> 95.4%+; the same scaling applies to typeset glyphs).
+    "U": dict(
+        data="data_typeset48k",
+        dataset=["--n", "48000", "--realistic", "--typeset", "--seed", "19"],
+        train=["--epochs", "40", "--lr", "3e-4", "--warmup_steps", "200",
+               "--decay_steps", "48000", "--eval_max_len", "475",
+               "--eval_batch_size", "32", "--eval_batches", "225",
+               "--save_freq", "10", "--val_freq", "10"],
+    ),
 }
 
 ORDER = list(STAGES)
