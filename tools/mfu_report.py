@@ -85,6 +85,29 @@ def time_runs(fn, fresh_args, n=3):
     return min(times), times
 
 
+def time_pipelined(fn, fresh_args):
+    """Sustained per-call seconds: dispatch every call asynchronously, force
+    all results once at the end. Back-to-back dispatch overlaps the tunnel's
+    per-call round-trip with device compute, so this is the steady-state
+    throughput number; time_runs is the single-shot latency number."""
+    t0 = time.time()
+    outs = [fn(*args) for args in fresh_args]
+    for o in outs:
+        float(o)
+    return (time.time() - t0) / len(fresh_args)
+
+
+def matmul_param_count(tree) -> int:
+    """Total elements of >=2-D parameter leaves (matmul weights; skips
+    biases/norm scales — and callers exclude embedding tables by name)."""
+    total = 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        name = jax.tree_util.keystr(path).lower()
+        if leaf.ndim >= 2 and "embed" not in name and "pos" not in name:
+            total += leaf.size
+    return total
+
+
 def phase_encoder(model, params, results):
     B, H, W = 64, 160, 1008
     rng = np.random.default_rng(0)
@@ -105,15 +128,18 @@ def phase_encoder(model, params, results):
     fl = flops_of(compiled)
     float(enc_fwd(params, batches[0]))  # warm
     best, times = time_runs(enc_fwd, [(params, b) for b in batches[1:]])
+    piped = time_pipelined(enc_fwd, [(params, b) for b in batches[1:]])
     results.append({
         "phase": f"encoder fwd b{B} ({H},{W})",
         "flops_per_call": fl,
-        "seconds": best,
-        "tflops_per_sec": fl / best / 1e12,
-        "mfu_pct": 100 * fl / best / PEAK_BF16,
-        "images_per_sec": B / best,
+        "seconds": piped,
+        "single_shot_s": best,
+        "tflops_per_sec": fl / piped / 1e12,
+        "mfu_pct": 100 * fl / piped / PEAK_BF16,
+        "images_per_sec": B / piped,
         "all_runs_s": [round(t, 4) for t in times],
     })
+    return fl
 
 
 def phase_train(model, h, w, seq_len, results, batch=32, steps=16,
@@ -130,7 +156,9 @@ def phase_train(model, h, w, seq_len, results, batch=32, steps=16,
     labels = jax.device_put(jnp.asarray(labels), dev)
 
     tx = optax.adam(3e-4)
-    params = cpu_init_params(max_length=seq_len)
+    # TrainState.params is the INNER dict (the train step wraps it back in
+    # {"params": ...} at apply time — device_data.py:285).
+    params = cpu_init_params(max_length=seq_len)["params"]
     state = TrainState(
         params=params, opt_state=tx.init(params), step=jnp.int32(0),
         dropout_rng=jax.random.PRNGKey(0))
@@ -140,7 +168,10 @@ def phase_train(model, h, w, seq_len, results, batch=32, steps=16,
     args = (state, images_u8, labels, jnp.int32(steps), jnp.int32(n_images),
             jnp.int32(0), jnp.int32(0))
     compiled = run.lower(*args).compile()
-    fl = flops_of(compiled)
+    # XLA's cost model counts a loop body ONCE (scan lowers to while, whose
+    # trip count the model doesn't multiply), so the reported flops are one
+    # scan-body execution = one train step; the call runs `steps` of them.
+    fl = flops_of(compiled) * steps
 
     # Donated state chains the runs; vary start so index math isn't reused.
     state, metrics = run(*args)
@@ -166,7 +197,22 @@ def phase_train(model, h, w, seq_len, results, batch=32, steps=16,
     })
 
 
-def phase_decode(model, params, results):
+def decoder_step_flops(params, t_cache: int, t_enc: int,
+                       num_layers: int = 4, d_inner: int = 512) -> float:
+    """Analytic per-token decoder FLOPs (one KV-cached decode step, batch 1).
+
+    XLA's cost model counts the decode while/scan bodies once, so the
+    compiled flops can't be trusted for the loop; matmul flops are 2*params
+    touched per token, plus the attention score/value contractions against
+    the self-attention cache (t_cache rows) and the encoder memory (t_enc).
+    """
+    dec = {k: v for k, v in params["params"].items() if "decoder" in k.lower()}
+    dense = 2 * matmul_param_count(dec)
+    attn = num_layers * 4 * d_inner * (t_cache + t_enc)
+    return float(dense + attn)
+
+
+def phase_decode(model, params, results, enc_flops):
     B, H, W, STEPS = 64, 160, 1008, 256
     cfg = model.config
     rng = np.random.default_rng(2)
@@ -186,16 +232,24 @@ def phase_decode(model, params, results):
         for _ in range(4)
     ]
     compiled = decode.lower(params, batches[0]).compile()
-    fl = flops_of(compiled)
+    # Encoder flops from the cost model (loop-free, trustworthy at this
+    # batch) + analytic KV-cached decoder step flops x steps (see
+    # decoder_step_flops); the raw cost-model total is kept for reference.
+    fl = enc_flops + B * STEPS * decoder_step_flops(
+        params, t_cache=STEPS, t_enc=631,
+        num_layers=cfg.decoder.num_layers)
     float(decode(params, batches[0]))
     best, times = time_runs(decode, [(params, b) for b in batches[1:]])
+    piped = time_pipelined(decode, [(params, b) for b in batches[1:]])
     results.append({
         "phase": f"greedy decode b{B} ({H},{W}) {STEPS} steps (incl. enc)",
         "flops_per_call": fl,
-        "seconds": best,
-        "tflops_per_sec": fl / best / 1e12,
-        "mfu_pct": 100 * fl / best / PEAK_BF16,
-        "images_per_sec": B / best,
+        "flops_costmodel_raw": flops_of(compiled),
+        "seconds": piped,
+        "single_shot_s": best,
+        "tflops_per_sec": fl / piped / 1e12,
+        "mfu_pct": 100 * fl / piped / PEAK_BF16,
+        "images_per_sec": B / piped,
         "all_runs_s": [round(t, 4) for t in times],
     })
 
@@ -209,13 +263,13 @@ def main():
         use_flash_attention=jax.default_backend() == "tpu"))
     params = cpu_init_params(max_length=512)
 
-    phase_encoder(model, params, results)
+    enc_flops = phase_encoder(model, params, results)
     # The two bucket regimes that matter: the dominant realistic-mix bucket
     # and the full reference canvas (VERDICT weak #6: the worst-case
     # sustained number was unmeasured).
     phase_train(model, 96, 1008, 512, results)
     phase_train(model, 160, 1008, 512, results, n_images=512)
-    phase_decode(model, params, results)
+    phase_decode(model, params, results, enc_flops)
 
     log("| phase | GFLOPs/call | time | TFLOP/s | % v5e bf16 peak | img/s |")
     log("|---|---|---|---|---|---|")
