@@ -42,6 +42,11 @@ _TPU_DEFAULTS: Dict[str, Any] = {
     "mask_pad_loss": True,
     "seq_pad_multiple": 32,
     "kv_quant": "none",
+    # Rematerialize (jax.checkpoint) each transformer sub-layer and ResNet
+    # bottleneck in the teacher-forced forward: backward recomputes instead
+    # of storing activations. Enables large-canvas/long-seq buckets to train
+    # at full batch when the dataset is also HBM-resident (device_data).
+    "remat": False,
     "device_data": False,
     "device_data_steps_per_call": 16,
     # On-device train-time augmentation (scale/translate/brightness inside
@@ -132,6 +137,10 @@ class ModelConfig:
     # 'int8' quantizes the precomputed cross-attention K/V for the decode
     # loop (halves its dominant HBM traffic; exact up to int8 rounding).
     kv_quant: str = "none"
+    # Per-sub-layer / per-bottleneck activation rematerialization (see
+    # _TPU_DEFAULTS["remat"]). Affects only the teacher-forced training
+    # forward; the cached decode path never differentiates.
+    remat: bool = False
 
     @staticmethod
     def from_dict(config: dict) -> "ModelConfig":
@@ -181,6 +190,7 @@ class ModelConfig:
             dtype=config["dtype"],
             use_flash_attention=_resolve_flash(config["use_flash_attention"]),
             kv_quant=config["kv_quant"],
+            remat=bool(config["remat"]),
         )
 
 

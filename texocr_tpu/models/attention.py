@@ -326,6 +326,39 @@ class MultiHeadAttention(nn.Module):
         )
 
 
+def _sublayer_step(mdl: "AttentionStack", x, enc, mask, enc_mask,
+                   layer: int, kind: str, deterministic: bool,
+                   post_norm: bool):
+    """One (norm -> block -> +residual [-> norm]) sub-layer step, factored
+    out so the remat path can wrap it in ``nn.remat`` (backward recomputes
+    the sub-layer instead of storing its activations — the jax.checkpoint
+    trade of FLOPs for HBM that lets full-canvas/long-seq buckets train at
+    batch 32 while the dataset itself is device-resident)."""
+    residual = x
+    h = mdl._norm(x)
+    if kind == "self":
+        out = mdl.self_attns[layer](h, mask=mask, deterministic=deterministic)
+    elif kind == "cross":
+        out = mdl.cross_attns[layer](
+            h, context=enc, mask=mask, context_mask=enc_mask,
+            deterministic=deterministic,
+        )
+    else:
+        out = mdl.mlps[layer](h, deterministic=deterministic)
+    x = out + residual
+    if post_norm:
+        x = mdl._norm(x)
+    return x
+
+
+# prevent_cse=False: the rematted step runs inside lax.scan / jitted train
+# steps where XLA cannot CSE across iterations; the flag avoids the
+# optimization-barrier ops that would otherwise pessimize fusion.
+_sublayer_step_remat = nn.remat(
+    _sublayer_step, static_argnums=(5, 6, 7, 8), prevent_cse=False
+)
+
+
 class AttentionStack(nn.Module):
     """Stack of (self[, cross], mlp) sub-layers with the reference's shared
     LayerNorm and double-norm residual stream (reference attention.py:183-269)."""
@@ -341,6 +374,7 @@ class AttentionStack(nn.Module):
     ff_dropout: float = 0.0
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    remat: bool = False
 
     def setup(self):
         # ONE norm instance, reused everywhere (reference attention.py:200,221).
@@ -406,6 +440,16 @@ class AttentionStack(nn.Module):
         if self.cross_attend and enc is None:
             raise ValueError("Must provide enc if cross_attend is True.")
         n_sub = self.num_layers * (3 if self.cross_attend else 2)
+        if self.remat and not return_hidden:
+            idx = 0
+            for layer in range(self.num_layers):
+                for kind, _ in self._sublayers(layer):
+                    idx += 1
+                    x = _sublayer_step_remat(
+                        self, x, enc, mask, enc_mask,
+                        layer, kind, deterministic, idx != n_sub,
+                    )
+            return x
         hiddens, attn_maps = [], []
         idx = 0
         for layer in range(self.num_layers):

@@ -29,6 +29,7 @@ class TransformerDecoder(nn.Module):
     config: DecoderConfig
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    remat: bool = False
 
     def setup(self):
         cfg = self.config
@@ -60,6 +61,7 @@ class TransformerDecoder(nn.Module):
             ff_dropout=0.0,  # reference passes no dropout into ff_kwargs
             dtype=self.dtype,
             use_flash=self.use_flash,
+            remat=self.remat,
             name="attn_layers",
         )
         self.norm = nn.LayerNorm(

@@ -67,6 +67,7 @@ class VisionEncoder(nn.Module):
     config: EncoderConfig
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    remat: bool = False
 
     def setup(self):
         cfg = self.config
@@ -76,6 +77,7 @@ class VisionEncoder(nn.Module):
                 channels=tuple(cfg.resnet_channels),
                 stem_channels=cfg.stem_channels,
                 dtype=self.dtype,
+                remat=self.remat,
                 name="backbone",
             )
             # Reduced patchify: with the /16 backbone the projection is
@@ -122,6 +124,7 @@ class VisionEncoder(nn.Module):
             ff_dropout=0.0,
             dtype=self.dtype,
             use_flash=self.use_flash,
+            remat=self.remat,
             name="attn_layers",
         )
         self.norm = nn.LayerNorm(

@@ -29,12 +29,14 @@ class OCRModel(nn.Module):
             self.config.encoder,
             dtype=dtype,
             use_flash=self.config.use_flash_attention,
+            remat=self.config.remat,
             name="encoder",
         )
         self.decoder = TransformerDecoder(
             self.config.decoder,
             dtype=dtype,
             use_flash=self.config.use_flash_attention,
+            remat=self.config.remat,
             name="decoder",
         )
 

@@ -64,11 +64,20 @@ class Stage(nn.Module):
     depth: int
     stride: int
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # remat: store only the block-boundary activations for backward and
+        # recompute each bottleneck's conv/GN intermediates — the backbone's
+        # early high-resolution feature maps dominate training HBM at the
+        # (160, 1008) canvas. Param structure is unchanged (nn.remat lifts
+        # the module transparently), so checkpoints are interchangeable.
+        block_cls = (
+            nn.remat(Bottleneck, prevent_cse=False) if self.remat else Bottleneck
+        )
         for i in range(self.depth):
-            x = Bottleneck(
+            x = block_cls(
                 out_channels=self.out_channels,
                 stride=self.stride if i == 0 else 1,
                 use_proj=(i == 0),
@@ -86,6 +95,7 @@ class ResNetV2(nn.Module):
     stem_channels: int = 64
     out_stride: int = 32
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -107,6 +117,7 @@ class ResNetV2(nn.Module):
                 depth=depth,
                 stride=stride,
                 dtype=self.dtype,
+                remat=self.remat,
                 name=f"stage{stage_id}",
             )(h)
             curr_stride *= stride

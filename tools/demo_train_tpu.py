@@ -57,6 +57,10 @@ def main():
     p.add_argument("--max_canvas", type=int, nargs=2, default=None,
                    metavar=("H", "W"),
                    help="curriculum: train only on buckets within (H, W)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize sub-layer/bottleneck activations in "
+                        "backward (fits large-bucket datasets alongside the "
+                        "model in HBM; ~constant small step-time cost)")
     args = p.parse_args()
 
     from texocr_tpu.config import ModelConfig
@@ -108,6 +112,7 @@ def main():
         "loss_fn": "CrossEntropyLoss",
         "resume": args.resume,
         "init_from": args.init_from,
+        "remat": args.remat,
         "device_data": args.device_data,
         "device_data_steps_per_call": args.steps_per_call,
         "device_data_augment": args.augment,

@@ -81,13 +81,15 @@ STAGES = {
                "--save_freq", "10", "--val_freq", "10"],
     ),
     # G: the reference's full 100k-equation scale (data_config.yml:2).
+    # --remat: at 100k uniques the resident buckets leave too little HBM
+    # for un-rematerialized (160,1008)/seq-640 backward activations.
     "G": dict(
         data="data_real100k",
         dataset=["--n", "100000", "--realistic", "--seed", "13"],
         train=["--epochs", "40", "--lr", "3e-4", "--warmup_steps", "200",
                "--decay_steps", "100000", "--eval_max_len", "500",
                "--eval_batch_size", "32", "--eval_batches", "150",
-               "--save_freq", "10", "--val_freq", "10"],
+               "--save_freq", "10", "--val_freq", "10", "--remat"],
     ),
     # T: real math typesetting (mathtext) — actual fraction bars/radicals/
     # kerning with invisible grouping braces, the closest in-image stand-in
@@ -105,13 +107,16 @@ STAGES = {
     # when the 24k typeset fine-tune lands short of the exact-match target
     # (the PIL chain showed exact match is data-bound: 24k -> 93.3%,
     # 48k -> 95.4%+; the same scaling applies to typeset glyphs).
+    # --remat: typeset renders skew tall — ~23k of 38k train images land in
+    # the (160,1008)/seq-640 bucket (3.7 GB resident), which OOMs the
+    # un-rematerialized backward at batch 32.
     "U": dict(
         data="data_typeset48k",
         dataset=["--n", "48000", "--realistic", "--typeset", "--seed", "19"],
         train=["--epochs", "40", "--lr", "3e-4", "--warmup_steps", "200",
                "--decay_steps", "48000", "--eval_max_len", "475",
                "--eval_batch_size", "32", "--eval_batches", "225",
-               "--save_freq", "10", "--val_freq", "10"],
+               "--save_freq", "10", "--val_freq", "10", "--remat"],
     ),
 }
 
