@@ -289,3 +289,34 @@ def test_scan_step_dynamic_n_steps_one_executable(dataset):
     # One executable across the 3/8/5-step calls (the loop always passes
     # plain ints; a strongly-typed jnp scalar would add a second entry).
     assert run._cache_size() == 1
+
+
+def test_train_model_device_resident_host_val(dataset, tmp_path):
+    """device_data_val=False spills the val split to the host: training stays
+    device-resident while the val loss streams per batch through the plain
+    eval step (the HBM spill knob for datasets that fill the chip)."""
+    from texocr_tpu.training.loop import train_model
+
+    cfg = dict(TINY_CONFIG)
+    cfg.update(
+        img_size=(32, 128), vocab_size=1000,
+        trg_pad_idx=999, bos_token=998, eos_token=997,
+        batch_size=4, n_epochs=2, optimizer="Adam",
+        optimizer_args={"lr": 1e-3, "weight_decay": 0.0},
+        save_checkpoint=False, save_dir=str(tmp_path / "hv"),
+        save_freq=99, val_freq=1, seed=42,
+        mesh={"data": 2, "model": 1}, seq_pad_multiple=8,
+        device_data=True, device_data_steps_per_call=2,
+        device_data_val=False, keep_small=True,
+    )
+    del cfg["max_length"]
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        model, state, history = train_model(dataset, dataset, cfg, verbose=True)
+    assert len(history) == 2
+    assert np.isfinite(history).all()
+    # The host-streamed val loss was computed and logged both epochs.
+    assert buf.getvalue().count('"val"') == 2

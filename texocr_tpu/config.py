@@ -49,6 +49,9 @@ _TPU_DEFAULTS: Dict[str, Any] = {
     "remat": False,
     "device_data": False,
     "device_data_steps_per_call": 16,
+    # False streams the val split from the host instead of staging it in
+    # HBM (the spill knob for datasets that fill the chip).
+    "device_data_val": True,
     # On-device train-time augmentation (scale/translate/brightness inside
     # the scan step — device_data.augment_batch); replaces the host PIL
     # affine aug, which can't run in device_data mode.

@@ -240,6 +240,12 @@ def _train_device_resident(
         max_canvas=config.get("device_data_max_canvas"),
         size_round=size_round,
     )
+    # device_data_val=False keeps the val split on the HOST (streamed per
+    # batch through the plain eval step) instead of staging it in HBM — the
+    # spill knob when train buckets + backward activations already fill the
+    # chip (val runs once per val_freq epochs; its upload cost is off the
+    # hot path by construction).
+    val_resident = bool(config.get("device_data_val", True))
     val_data = (
         DeviceResidentData.from_dataset(
             val_set, seq_pad_multiple=seq_pad, mesh=mesh,
@@ -250,9 +256,13 @@ def _train_device_resident(
             max_canvas=config.get("device_data_max_canvas"),
             size_round=size_round,
         )
-        if val_set is not None
+        if val_set is not None and val_resident
         else None
     )
+    val_loader = None
+    if val_set is not None and not val_resident:
+        host_eval_step = make_eval_step(model, mask_pad=tcfg.mask_pad_loss)
+        val_loader = create_dataloader(val_set, config)
     if verbose:
         for key, b in data.buckets.items():
             print(f"  bucket {key}: {b.n} images, seq_len {b.seq_len}, "
@@ -331,6 +341,16 @@ def _train_device_resident(
                     total -= take
                     off += take
                     n += take
+            if n:
+                logger.log("val", epoch=epoch + 1, loss=float(val_loss) / n)
+        elif val_loader is not None and (epoch + 1) % tcfg.val_freq == 0:
+            val_loss, n = jnp.zeros((), jnp.float32), 0
+            for images, labels in val_loader:
+                images, labels = put_batch(mesh, images, labels)
+                val_loss = val_loss + host_eval_step(
+                    state.params, images, labels
+                )
+                n += 1
             if n:
                 logger.log("val", epoch=epoch + 1, loss=float(val_loss) / n)
 

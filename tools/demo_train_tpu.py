@@ -61,6 +61,9 @@ def main():
                    help="rematerialize sub-layer/bottleneck activations in "
                         "backward (fits large-bucket datasets alongside the "
                         "model in HBM; ~constant small step-time cost)")
+    p.add_argument("--host_val", action="store_true",
+                   help="stream the val split from the host instead of "
+                        "staging it in HBM (device_data mode spill knob)")
     args = p.parse_args()
 
     from texocr_tpu.config import ModelConfig
@@ -113,6 +116,7 @@ def main():
         "resume": args.resume,
         "init_from": args.init_from,
         "remat": args.remat,
+        "device_data_val": not args.host_val,
         "device_data": args.device_data,
         "device_data_steps_per_call": args.steps_per_call,
         "device_data_augment": args.augment,
