@@ -29,14 +29,27 @@ def dataset(tmp_path_factory):
 
 
 def test_buckets_match_dataset(dataset):
+    from texocr_tpu.training.device_data import LANE
+    from texocr_tpu.utils import pad_to_multiple
+
     data = DeviceResidentData.from_dataset(dataset, seq_pad_multiple=8)
     assert set(data.buckets) == {(h, w) for (w, h) in dataset.sizes}
     for (h, w), b in data.buckets.items():
-        assert b.images.shape[1:] == (h, w)
+        # Logical shape is the render canvas; storage is lane-padded on the
+        # minor dim so the on-device gather is zero-copy (device_data.LANE).
+        assert b.shape == (h, w)
+        assert b.images.shape[1] == h
+        assert b.images.shape[2] == pad_to_multiple(w, LANE)
         assert b.images.dtype == jnp.uint8
         assert b.n == len(dataset.sizes[(w, h)])
-        assert b.labels.shape == (b.n, b.seq_len)
+        assert b.labels.shape == (b.n, pad_to_multiple(b.seq_len, LANE))
         assert b.seq_len % 8 == 0
+        # Padding is white background / PAD token — cropped out by
+        # gather_batch, never visible to the model.
+        if b.images.shape[2] > w:
+            assert (np.asarray(b.images[:, :, w:]) == 255).all()
+        if b.labels.shape[1] > b.seq_len:
+            assert (np.asarray(b.labels[:, b.seq_len:]) == 999).all()
 
 
 def test_gather_matches_host_pipeline(dataset):
@@ -48,7 +61,9 @@ def test_gather_matches_host_pipeline(dataset):
 
     take = idxs[:3]
     rows = [i for i, src in enumerate(idxs) if src in take]
-    imgs, labs = gather_batch(b.images, b.labels, jnp.asarray(rows))
+    imgs, labs = gather_batch(
+        b.images, b.labels, jnp.asarray(rows), b.true_w, b.true_len
+    )
 
     collate = BatchCollator(999, 998, 997, seq_pad_multiple=8)
     host_imgs, host_labs = collate([dataset[i] for i in take])
@@ -75,13 +90,17 @@ def test_scan_step_trains_and_counts(dataset):
     data = DeviceResidentData.from_dataset(dataset, seq_pad_multiple=8)
     b = next(iter(data.buckets.values()))
 
-    imgs, labs = gather_batch(b.images, b.labels, jnp.arange(2))
+    imgs, labs = gather_batch(
+        b.images, b.labels, jnp.arange(2), b.true_w, b.true_len
+    )
     state = create_train_state(model, tx, jax.random.PRNGKey(0), imgs, labs)
     run = make_scan_train_step(model, tx, batch_size=2)
 
-    state, m1 = run(state, b.images, b.labels, 4, b.n, 0, 0)
+    state, m1 = run(state, b.images, b.labels, 4, b.n, 0, 0, 0,
+                    b.true_w, b.true_len)
     assert int(state.step) == 4
-    state, m2 = run(state, b.images, b.labels, 4, b.n, 0, 1)
+    state, m2 = run(state, b.images, b.labels, 4, b.n, 0, 1, 0,
+                    b.true_w, b.true_len)
     assert int(state.step) == 8
     assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
     assert float(m2["loss"]) < float(m1["loss"])  # memorizing the bucket
@@ -273,15 +292,18 @@ def test_scan_step_dynamic_n_steps_one_executable(dataset):
     tx = get_optimizer("Adam", {"lr": 1e-3})
     data = DeviceResidentData.from_dataset(dataset, seq_pad_multiple=8)
     b = next(iter(data.buckets.values()))
-    imgs, labs = gather_batch(b.images, b.labels, jnp.arange(2))
+    imgs, labs = gather_batch(
+        b.images, b.labels, jnp.arange(2), b.true_w, b.true_len
+    )
     state = create_train_state(model, tx, jax.random.PRNGKey(0), imgs, labs)
     run = make_scan_train_step(model, tx, batch_size=2, steps_cap=8)
 
-    state, m1 = run(state, b.images, b.labels, 3, b.n)
+    crop = (0, 0, b.true_w, b.true_len)  # start, perm_seed defaults spelled
+    state, m1 = run(state, b.images, b.labels, 3, b.n, 0, *crop)
     assert int(state.step) == 3
-    state, m2 = run(state, b.images, b.labels, 8, b.n)
+    state, m2 = run(state, b.images, b.labels, 8, b.n, 0, *crop)
     assert int(state.step) == 11
-    state, m3 = run(state, b.images, b.labels, 5, b.n)
+    state, m3 = run(state, b.images, b.labels, 5, b.n, 0, *crop)
     assert int(state.step) == 16
     for m in (m1, m2, m3):
         assert np.isfinite(float(m["loss"]))

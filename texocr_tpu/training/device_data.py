@@ -49,21 +49,39 @@ from texocr_tpu.training.train_step import TrainState
 from texocr_tpu.utils import pad_to_multiple
 
 
-class DeviceBucket:
-    """One (h, w) shape bucket resident on device."""
+# TPU vector lane width. Resident buckets are stored with their minor
+# (last) dimension padded to a multiple of this: XLA's TPU gather emits a
+# zero-copy dynamic-slice loop ONLY when the operand's minor dim is
+# lane-aligned — otherwise every batch gather first materializes a relayout
+# copy of the ENTIRE bucket as scratch (measured: 3.77 GB temp for one
+# 32-row gather from a (23040, 160, 1008) u8 bucket; 12 GB total temps in
+# the scan train step → OOM on a 16 GB chip). Padding (160,1008)->(160,1024)
+# costs +1.6% HBM and makes the gather's temp footprint the batch itself.
+LANE = 128
 
-    def __init__(self, images: jax.Array, labels: jax.Array, n: int):
-        self.images = images  # uint8 (N, H, W)
-        self.labels = labels  # int32 (N, L) BOS/seq/EOS/PAD rows
+
+class DeviceBucket:
+    """One (h, w) shape bucket resident on device.
+
+    ``images``/``labels`` are stored lane-padded (see ``LANE``); ``true_w``
+    and ``true_len`` are the logical width / label length the model sees —
+    gather_batch crops each gathered batch back to them."""
+
+    def __init__(self, images: jax.Array, labels: jax.Array, n: int,
+                 true_w: Optional[int] = None, true_len: Optional[int] = None):
+        self.images = images  # uint8 (N, H, W_pad)
+        self.labels = labels  # int32 (N, L_pad) BOS/seq/EOS/PAD rows
         self.n = n
+        self.true_w = true_w if true_w is not None else images.shape[2]
+        self.true_len = true_len if true_len is not None else labels.shape[1]
 
     @property
     def shape(self) -> Tuple[int, int]:
-        return self.images.shape[1], self.images.shape[2]
+        return self.images.shape[1], self.true_w
 
     @property
     def seq_len(self) -> int:
-        return self.labels.shape[1]
+        return self.true_len
 
 
 def _pack_labels(
@@ -144,10 +162,25 @@ class DeviceResidentData:
                 [ds.token_ids[i] for i in rows], pad, bos, eos, seq_pad_multiple
             )
             max_seq = max(max_seq, labs.shape[1])
+            # Lane-align the minor dims in storage (images: white 255 = the
+            # render background pre-inversion; labels: PAD). gather_batch
+            # crops each gathered batch back to the true dims, so the model
+            # never sees the padding — it exists only so the on-device
+            # gather is zero-copy (see LANE).
+            true_w, true_len = imgs.shape[2], labs.shape[1]
+            w_pad = pad_to_multiple(true_w, LANE) - true_w
+            if w_pad:
+                imgs = np.pad(imgs, ((0, 0), (0, 0), (0, w_pad)),
+                              constant_values=255)
+            l_pad = pad_to_multiple(true_len, LANE) - true_len
+            if l_pad:
+                labs = np.pad(labs, ((0, 0), (0, l_pad)), constant_values=pad)
             buckets[(h, w)] = DeviceBucket(
                 jax.device_put(jnp.asarray(imgs), device),
                 jax.device_put(jnp.asarray(labs), device),
                 n,
+                true_w=true_w,
+                true_len=true_len,
             )
         return cls(buckets, max_seq)
 
@@ -172,12 +205,25 @@ class DeviceResidentData:
 
 
 def gather_batch(
-    images_u8: jax.Array, labels: jax.Array, idx: jax.Array
+    images_u8: jax.Array,
+    labels: jax.Array,
+    idx: jax.Array,
+    crop_w: Optional[int] = None,
+    crop_len: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """On-device batch materialization: gather rows, then the host collator's
-    arithmetic (transforms.to_model_array): f32 /255, invert, add channel."""
-    imgs = jnp.take(images_u8, idx, axis=0).astype(jnp.float32) / 255.0
-    return (1.0 - imgs)[..., None], jnp.take(labels, idx, axis=0)
+    """On-device batch materialization: gather rows (zero-copy against the
+    lane-padded bucket, see ``LANE``), crop the BATCH back to the logical
+    dims (static slice of batch-sized arrays — cheap), then the host
+    collator's arithmetic (transforms.to_model_array): f32 /255, invert,
+    add channel."""
+    imgs = jnp.take(images_u8, idx, axis=0)
+    labs = jnp.take(labels, idx, axis=0)
+    if crop_w is not None and crop_w != imgs.shape[2]:
+        imgs = imgs[:, :, :crop_w]
+    if crop_len is not None and crop_len != labs.shape[1]:
+        labs = labs[:, :crop_len]
+    imgs = imgs.astype(jnp.float32) / 255.0
+    return (1.0 - imgs)[..., None], labs
 
 
 def augment_batch(images: jax.Array, key: jax.Array) -> jax.Array:
@@ -240,9 +286,9 @@ def make_scan_train_step(
 
         batch_spec = batch_sharding(mesh)
 
-    @partial(jax.jit, donate_argnums=(0,))
+    @partial(jax.jit, donate_argnums=(0,), static_argnums=(8, 9))
     def run(state: TrainState, images_u8, labels_all, n_steps, n_real,
-            start=0, perm_seed=0, bucket_tag=0):
+            start=0, perm_seed=0, bucket_tag=0, crop_w=None, crop_len=None):
         n_padded = images_u8.shape[0]
         # Selection keys diverge from dropout keys via a tag fold so the two
         # streams never collide (dropout folds (rng, step) directly). The key
@@ -272,7 +318,9 @@ def make_scan_train_step(
                 perm, ((start + s) * batch_size + jnp.arange(batch_size))
                 % n_real
             )
-            images, labels = gather_batch(images_u8, labels_all, idx)
+            images, labels = gather_batch(
+                images_u8, labels_all, idx, crop_w, crop_len
+            )
             if batch_spec is not None:
                 images = jax.lax.with_sharding_constraint(images, batch_spec)
                 labels = jax.lax.with_sharding_constraint(labels, batch_spec)
@@ -351,11 +399,14 @@ def make_scan_eval_step(
     ``ceil(total / steps_cap)`` calls."""
     pad_token = model.config.pad_token
 
-    @jax.jit
-    def run(params, images_u8, labels_all, n_steps, start, n_real):
+    @partial(jax.jit, static_argnums=(6, 7))
+    def run(params, images_u8, labels_all, n_steps, start, n_real,
+            crop_w=None, crop_len=None):
         def do_batch(acc, s):
             idx = ((start + s) * batch_size + jnp.arange(batch_size)) % n_real
-            images, labels = gather_batch(images_u8, labels_all, idx)
+            images, labels = gather_batch(
+                images_u8, labels_all, idx, crop_w, crop_len
+            )
             logits, shifted = model.apply({"params": params}, images, labels)
             return acc + sequence_ce_loss(
                 logits, shifted, pad_token=pad_token, mask_pad=mask_pad

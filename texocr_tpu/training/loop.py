@@ -302,7 +302,7 @@ def _train_device_resident(
             # get decorrelated orders (device_data.make_scan_train_step).
             state, metrics = run_steps(
                 state, b.images, b.labels, steps, b.n, chunk_start, epoch,
-                key[0] * 4096 + key[1],
+                key[0] * 4096 + key[1], b.true_w, b.true_len,
             )
             epoch_loss = epoch_loss + metrics["loss"] * steps
             epoch_acc = epoch_acc + metrics["token_acc"] * steps
@@ -336,7 +336,8 @@ def _train_device_resident(
                 while total > 0:
                     take = min(total, steps_cap)
                     val_loss = val_loss + eval_steps(
-                        state.params, b.images, b.labels, take, off, b.n
+                        state.params, b.images, b.labels, take, off, b.n,
+                        b.true_w, b.true_len,
                     ) * take
                     total -= take
                     off += take

@@ -89,7 +89,8 @@ STAGES = {
         train=["--epochs", "40", "--lr", "3e-4", "--warmup_steps", "200",
                "--decay_steps", "100000", "--eval_max_len", "500",
                "--eval_batch_size", "32", "--eval_batches", "150",
-               "--save_freq", "10", "--val_freq", "10", "--remat"],
+               "--save_freq", "10", "--val_freq", "10", "--remat",
+               "--host_val"],
     ),
     # T: real math typesetting (mathtext) — actual fraction bars/radicals/
     # kerning with invisible grouping braces, the closest in-image stand-in
@@ -116,7 +117,8 @@ STAGES = {
         train=["--epochs", "40", "--lr", "3e-4", "--warmup_steps", "200",
                "--decay_steps", "48000", "--eval_max_len", "475",
                "--eval_batch_size", "32", "--eval_batches", "225",
-               "--save_freq", "10", "--val_freq", "10", "--remat"],
+               "--save_freq", "10", "--val_freq", "10", "--remat",
+               "--host_val"],
     ),
 }
 
