@@ -35,7 +35,7 @@ from texocr_tpu.models import OCRModel  # noqa: E402
 from texocr_tpu.models.generate import greedy_decode  # noqa: E402
 from __graft_entry__ import _flagship_config  # noqa: E402
 
-BATCH = 64
+BATCH = int(os.environ.get("TEXOCR_BENCH_BATCH", "64"))
 DECODE_STEPS = 256
 H, W = 160, 1008
 
@@ -133,7 +133,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "batch64_greedy_decode_256steps_images_per_sec",
+                "metric": f"batch{BATCH}_greedy_decode_256steps_images_per_sec",
                 "value": round(ips, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(vs, 2) if vs is not None else None,

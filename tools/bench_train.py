@@ -100,31 +100,35 @@ def main():
         # Device-resident data + K-step scan dispatch: the images live on the
         # chip as uint8, batches are gathered on device, and each call runs
         # args.scan optimizer steps (training/device_data.py).
-        from texocr_tpu.training.device_data import make_scan_train_step
+        from texocr_tpu.training.device_data import LANE, make_scan_train_step
 
         n_pool = max(args.batch * 4, 256)
-        imgs_u8 = jax.device_put(
-            jnp.asarray(
-                rng.integers(0, 255, (n_pool, H, W), dtype=np.uint8)
-            ),
-            dev,
-        )
-        labs_all = jax.device_put(
-            jnp.asarray(
-                np.tile(labels_np, (n_pool // args.batch + 1, 1))[:n_pool]
-            ),
-            dev,
-        )
+        # Lane-padded pool per the shipped resident-bucket contract
+        # (device_data.LANE): zero-copy gathers; the step crops the batch
+        # back to the logical (W, seq).
+        WP = -(-W // LANE) * LANE
+        LP = -(-args.seq // LANE) * LANE
+        pool_np = np.full((n_pool, H, WP), 255, dtype=np.uint8)
+        pool_np[:, :, :W] = rng.integers(0, 255, (n_pool, H, W), dtype=np.uint8)
+        imgs_u8 = jax.device_put(jnp.asarray(pool_np), dev)
+        labs_np = np.full((n_pool, LP), 999, dtype=np.int32)
+        labs_np[:, : args.seq] = np.tile(
+            labels_np, (n_pool // args.batch + 1, 1)
+        )[:n_pool]
+        labs_all = jax.device_put(jnp.asarray(labs_np), dev)
         run = make_scan_train_step(model, tx, args.batch, steps_cap=args.scan)
         t0 = time.time()
-        state, metrics = run(state, imgs_u8, labs_all, args.scan, n_pool, 0, 0)
+        state, metrics = run(
+            state, imgs_u8, labs_all, args.scan, n_pool, 0, 0, 0, W, args.seq
+        )
         first_loss = float(metrics["loss"])
         log(f"compile + first call: {time.time()-t0:.1f}s loss={first_loss:.3f}")
         t0 = time.time()
         calls = max(args.steps // args.scan, 1)
         for c in range(calls):
             state, metrics = run(
-                state, imgs_u8, labs_all, args.scan, n_pool, 0, c + 1
+                state, imgs_u8, labs_all, args.scan, n_pool, 0, c + 1,
+                0, W, args.seq
             )
         final = float(metrics["loss"])
         dt = time.time() - t0

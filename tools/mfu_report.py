@@ -147,13 +147,23 @@ def phase_train(model, h, w, seq_len, results, batch=32, steps=16,
     """Device-resident scan train step on a synthetic (h, w) bucket."""
     dev = jax.devices()[0]
     rng = np.random.default_rng(1)
-    images_u8 = jax.device_put(
-        jnp.asarray(rng.integers(0, 256, (n_images, h, w), dtype=np.uint8)),
-        dev)
-    labels = rng.integers(0, 900, (n_images, seq_len)).astype(np.int32)
-    labels[:, 0] = 998
-    labels[:, -1] = 999
-    labels = jax.device_put(jnp.asarray(labels), dev)
+    # Lane-padded pool, matching the shipped resident-bucket contract
+    # (device_data.LANE): minor dims stored as multiples of the 128-lane
+    # vector width so the on-device gather is zero-copy; the step crops the
+    # gathered BATCH back to the logical (w, seq_len).
+    from texocr_tpu.training.device_data import LANE
+
+    wp = -(-w // LANE) * LANE
+    lp = -(-seq_len // LANE) * LANE
+    images_np = np.full((n_images, h, wp), 255, dtype=np.uint8)
+    images_np[:, :, :w] = rng.integers(
+        0, 256, (n_images, h, w), dtype=np.uint8)
+    images_u8 = jax.device_put(jnp.asarray(images_np), dev)
+    labels_np = np.full((n_images, lp), 999, dtype=np.int32)
+    labels_np[:, :seq_len] = rng.integers(0, 900, (n_images, seq_len))
+    labels_np[:, 0] = 998
+    labels_np[:, seq_len - 1] = 999
+    labels = jax.device_put(jnp.asarray(labels_np), dev)
 
     tx = optax.adam(3e-4)
     # TrainState.params is the INNER dict (the train step wraps it back in
@@ -166,7 +176,7 @@ def phase_train(model, h, w, seq_len, results, batch=32, steps=16,
                                steps_cap=steps)
 
     args = (state, images_u8, labels, jnp.int32(steps), jnp.int32(n_images),
-            jnp.int32(0), jnp.int32(0))
+            jnp.int32(0), jnp.int32(0), 0, w, seq_len)
     compiled = run.lower(*args).compile()
     # XLA's cost model counts a loop body ONCE (scan lowers to while, whose
     # trip count the model doesn't multiply), so the reported flops are one
@@ -181,7 +191,7 @@ def phase_train(model, h, w, seq_len, results, batch=32, steps=16,
         t0 = time.time()
         state, metrics = run(state, images_u8, labels, jnp.int32(steps),
                              jnp.int32(n_images), jnp.int32(steps * (i + 1)),
-                             jnp.int32(0))
+                             jnp.int32(0), 0, w, seq_len)
         float(metrics["loss"])
         times.append(time.time() - t0)
     best = min(times)
