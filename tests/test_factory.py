@@ -249,3 +249,30 @@ def test_typeset_wrap_preserves_tokens_and_canvas_rule():
         (h, w) for h, w in REALISTIC_PROFILES
     ]
     assert (np.asarray(img) < 128).any()
+
+
+def test_mathtext_digit_base_scripts_render_distinctly():
+    """Regression: matplotlib mathtext silently drops ^/_ when the script
+    base is a digit and the tokens are space-separated (`2 ^ { b }` parses
+    as the number 2 followed by a bare group), rendering sup and sub
+    pixel-identically — real latex/dvipng ignores the spaces and renders
+    them distinctly (reference render_data.py:38-47). mathtext_png must
+    compact the token stream so scripted digits keep their visual cue."""
+    import numpy as np
+
+    from texocr_tpu.data.factory.render_data import compact_latex, mathtext_png
+
+    assert compact_latex(r"\sin 2 ^ { b } + x _ { 1 }") == r"\sin2^{b}+x_{1}"
+    # the load-bearing space survives: a command must not absorb a letter
+    assert compact_latex(r"\sin x ^ { 2 }") == r"\sin x^{2}"
+
+    for sup, sub in [
+        ("2 ^ { b }", "2 _ { b }"),
+        (r"\sin 2 ^ { b }", r"\sin 2 _ { b }"),
+        (r"\tan 9 ^ { 1 }", r"\tan 9 _ { 1 }"),
+        ("7 ^ { z }", "7 _ { z }"),
+    ]:
+        a = np.asarray(mathtext_png(sup, 125))
+        b = np.asarray(mathtext_png(sub, 125))
+        assert a.shape != b.shape or not np.array_equal(a, b), (
+            f"{sup!r} and {sub!r} render identically")

@@ -87,6 +87,33 @@ def _pad_extents(w: int, h: int, patch_size: int):
     return new_w, new_h
 
 
+import re
+
+# TeX ignores whitespace between math tokens, so the reference chain renders
+# the space-separated label `2 ^ { b }` exactly like `2^{b}` (the .tex body
+# is the verbatim label — reference render_data.py:38-47). matplotlib's
+# mathtext parser does NOT: with a DIGIT base it parses `2 ^ { b }` as the
+# number 2 followed by a bare group and silently drops the script operator,
+# rendering sup and sub pixel-identically ("2 b" on the baseline). That
+# destroys the ^-vs-_ visual cue for every scripted digit (21% of scripts,
+# 84% of equations in the realistic grammar) — measured as the dominant
+# error mode of curriculum stage U (RESULTS.md "Typeset accuracy").
+# Compacting the token stream before handing it to mathtext restores the
+# semantics real latex/dvipng would give the same label. A space is kept
+# after alphabetic \commands so the command name can't absorb a following
+# letter (`\sin x`, not `\sinx`).
+_CMD_SPACE = re.compile(r"(\\[A-Za-z]+)\s+(?=[A-Za-z])")
+
+
+def compact_latex(equation: str) -> str:
+    """Collapse inter-token whitespace the way TeX itself would ignore it,
+    keeping the one space that is load-bearing: between an alphabetic
+    ``\\command`` and a following letter."""
+    eq = _CMD_SPACE.sub("\\1\x00", equation)
+    eq = re.sub(r"\s+", "", eq)
+    return eq.replace("\x00", " ")
+
+
 def mathtext_png(equation: str, dpi: int):
     """Typeset ONE equation with matplotlib mathtext -> tight grayscale PIL
     image (the dvipng -T tight equivalent; no padding). Raises on TeX
@@ -103,8 +130,10 @@ def mathtext_png(equation: str, dpi: int):
     buf = io.BytesIO()
     # math_to_image sizes the figure to the typeset math. mathtext needs the
     # $...$ wrapper; \displaystyle sizing is the default for its
-    # sums/integrals at this entry point.
-    mathtext.math_to_image(f"${equation}$", buf, dpi=dpi, format="png")
+    # sums/integrals at this entry point. compact_latex first: see above —
+    # spaced token streams mis-parse scripted digits.
+    mathtext.math_to_image(f"${compact_latex(equation)}$", buf, dpi=dpi,
+                           format="png")
     buf.seek(0)
     img = Image.open(buf).convert("L")
     arr = np.asarray(img)
