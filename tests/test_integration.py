@@ -100,11 +100,31 @@ def test_eval_harness_runs(dataset, tmp_path):
     img = jnp.zeros((1, 32, 64, 1), jnp.float32)
     lbl = jnp.full((1, 8), 999, jnp.int32)
     params = model.init(jax.random.PRNGKey(0), img, lbl)
+    pairs_path = str(tmp_path / "pairs.jsonl")
     out = test_model(
-        dataset, model, params, config, max_len=8, verbose=False, max_batches=1
+        dataset, model, params, config, max_len=8, verbose=False,
+        max_batches=1, pairs_out=pairs_path,
     )
     assert 0.0 <= out["token_acc"] <= 1.0
     assert out["batches"] == 1
+
+    # pairs_out dump feeds the confusion tool: one line per row, pad-free.
+    import json
+
+    with open(pairs_path) as f:
+        rows = [json.loads(line) for line in f]
+    assert rows and all(set(r) == {"pred", "gold"} for r in rows)
+    pad = config["trg_pad_idx"]
+    assert all(pad not in r["pred"] and pad not in r["gold"] for r in rows)
+
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from confusion_report import align_ops
+
+    ops = align_ops(rows[0]["pred"], rows[0]["gold"])
+    # edit count from the alignment bounds the row's error (sanity link)
+    assert len(ops) >= abs(len(rows[0]["pred"]) - len(rows[0]["gold"]))
 
 
 def test_serving_wrapper_round_trip(tmp_path):

@@ -35,6 +35,9 @@ def parse_args():
     p.add_argument("--skip_batches", type=int, default=0,
                    help="skip the first N batches (resume a long eval; the "
                         "loader order is deterministic for a fixed seed)")
+    p.add_argument("--pairs_out", type=str, default=None,
+                   help="append one JSON line per row with pad-stripped "
+                        "pred/gold token ids (tools/confusion_report.py)")
     p.add_argument("--metrics_out", type=str, default=None,
                    help="append per-batch metrics to this JSONL file")
     return p.parse_args()
@@ -104,6 +107,7 @@ def main(args):
         max_len=args.max_len, max_batches=args.max_batches,
         decode_mode=args.decode, beam_size=args.beam_size,
         skip_batches=args.skip_batches, metrics_out=args.metrics_out,
+        pairs_out=args.pairs_out,
     )
 
 

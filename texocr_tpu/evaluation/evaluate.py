@@ -53,12 +53,17 @@ def test_model(
     beam_size: int = 5,
     skip_batches: int = 0,
     metrics_out: Optional[str] = None,
+    pairs_out: Optional[str] = None,
 ) -> Dict[str, float]:
     """Decode the test split, report mean batch token-accuracy and
     exact-match. ``max_len`` defaults to the reference harness's decode budget
     (reference test.py:35). ``decode_mode``: 'greedy' (argmax, the BASELINE
     configs' default) or 'beam' (length-unnormalized beam search of width
     ``beam_size``; BASELINE config #4).
+
+    ``pairs_out`` appends one JSON line per ROW with the pad-stripped
+    predicted and gold token-id lists — the input for per-token error
+    analysis (tools/confusion_report.py).
 
     ``skip_batches``/``metrics_out`` make long evals resumable across process
     restarts: the loader order is deterministic for a fixed config seed, each
@@ -125,6 +130,17 @@ def test_model(
                     "exact_match": float(ems[-1]),
                     "edit_similarity": float(sims[-1]),
                 }) + "\n")
+        if pairs_out:
+            import json
+
+            with open(pairs_out, "a") as f:
+                for r in range(pred.shape[0]):
+                    f.write(json.dumps({
+                        "pred": [int(t) for t in pred[r]
+                                 if t != cfg.pad_token],
+                        "gold": [int(t) for t in target[r]
+                                 if t != cfg.pad_token],
+                    }) + "\n")
         if verbose:
             print(f"batch {n}: token_acc {accs[-1]:.3f}  exact {ems[-1]:.3f}"
                   f"  edit_sim {sims[-1]:.3f}")

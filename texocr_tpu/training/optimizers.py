@@ -17,9 +17,16 @@ def get_optimizer(name: str, args: dict) -> optax.GradientTransformation:
     cosine-decay schedule peaking at ``lr`` (held at E past W+D). The
     reference has no schedule (constant Adam, train.py:54/config.yml:26-29);
     this is the standard transformer-training knob it lacks.
+
+    ``grad_clip``: optional global-norm clip applied before the optimizer
+    update. Warm-starting a converged checkpoint under a fresh high-LR
+    cosine schedule can take one large step off the sharpened loss surface
+    (observed once: stage G epoch 7, train CE 0.011 -> 0.470 -> recovered;
+    RESULTS.md); clipping bounds that excursion.
     """
     args = dict(args)
     lr = args.pop("lr", 1e-3)
+    grad_clip = args.pop("grad_clip", None)
     sched = args.pop("lr_schedule", None)
     if sched:
         lr = optax.warmup_cosine_decay_schedule(
@@ -34,22 +41,28 @@ def get_optimizer(name: str, args: dict) -> optax.GradientTransformation:
     eps = args.pop("eps", 1e-8)
     name = name.lower()
 
+    def finish(*transforms):
+        chain = list(transforms)
+        if grad_clip:
+            chain.insert(0, optax.clip_by_global_norm(float(grad_clip)))
+        return optax.chain(*chain)
+
     if name == "adam":
         core = optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps)
         chain = [core]
         if weight_decay:
             chain.insert(0, optax.add_decayed_weights(weight_decay))
         chain.append(optax.scale_by_learning_rate(lr))
-        return optax.chain(*chain)
+        return finish(*chain)
     if name == "adamw":
-        return optax.adamw(
+        return finish(optax.adamw(
             lr, b1=betas[0], b2=betas[1], eps=eps, weight_decay=weight_decay
-        )
+        ))
     if name == "sgd":
         momentum = args.pop("momentum", 0.0)
         chain = []
         if weight_decay:
             chain.append(optax.add_decayed_weights(weight_decay))
         chain.append(optax.sgd(lr, momentum=momentum or None))
-        return optax.chain(*chain)
+        return finish(*chain)
     raise ValueError(f"unknown optimizer: {name!r}")

@@ -50,6 +50,10 @@ def main():
                    help="on-device scale/translate/brightness augmentation "
                         "(device_data mode)")
     p.add_argument("--wd", type=float, default=0.0, help="Adam weight decay")
+    p.add_argument("--grad_clip", type=float, default=0.0,
+                   help="global-norm gradient clip (0 = off); bounds the "
+                        "warm-start + fresh-cosine-schedule loss excursion "
+                        "seen once at stage G epoch 7 (RESULTS.md)")
     p.add_argument("--warmup_steps", type=int, default=0,
                    help="linear lr warmup steps (with --decay_steps)")
     p.add_argument("--decay_steps", type=int, default=0,
@@ -61,6 +65,11 @@ def main():
                    help="rematerialize sub-layer/bottleneck activations in "
                         "backward (fits large-bucket datasets alongside the "
                         "model in HBM; ~constant small step-time cost)")
+    p.add_argument("--metrics_out", type=str, default=None,
+                   help="also write the final metrics JSON to this file "
+                        "(the curriculum driver points it at a committed "
+                        "results/ artifact so a completed stage can't go "
+                        "unreported)")
     p.add_argument("--host_val", action="store_true",
                    help="stream the val split from the host instead of "
                         "staging it in HBM (device_data mode spill knob)")
@@ -90,6 +99,7 @@ def main():
         "optimizer_args": {
             "lr": args.lr,
             "weight_decay": args.wd,
+            **({"grad_clip": args.grad_clip} if args.grad_clip else {}),
             **(
                 {"lr_schedule": {"warmup_steps": args.warmup_steps,
                                  "decay_steps": args.decay_steps}}
@@ -154,7 +164,18 @@ def main():
         verbose=True,
         max_batches=args.eval_batches,
     )
-    print(json.dumps({"history": history, **metrics}))
+    final = {"history": history, **metrics}
+    print(json.dumps(final))
+    if args.metrics_out:
+        record = {
+            "args": vars(args),
+            "final_train_loss": history[-1] if history else None,
+            **metrics,
+        }
+        os.makedirs(os.path.dirname(args.metrics_out) or ".", exist_ok=True)
+        with open(args.metrics_out, "w") as f:
+            json.dump(record, f, indent=1)
+        print(f"metrics written to {args.metrics_out}")
 
 
 if __name__ == "__main__":

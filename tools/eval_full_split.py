@@ -67,6 +67,11 @@ def main() -> int:
     p.add_argument("--max_batches", type=int, default=None)
     p.add_argument("--metrics_out", required=True,
                    help="per-batch JSONL; also the resume state")
+    p.add_argument("--pairs_out", default=None,
+                   help="per-row pred/gold token-id JSONL for "
+                        "tools/confusion_report.py (appended across resumes; "
+                        "rows from a batch the dying process half-wrote are "
+                        "possible but harmless for aggregate confusions)")
     p.add_argument("--max_retries", type=int, default=8,
                    help="max restarts WITHOUT forward progress")
     args = p.parse_args()
@@ -85,6 +90,8 @@ def main() -> int:
         ]
         if args.max_batches is not None:
             cmd += ["--max_batches", str(args.max_batches)]
+        if args.pairs_out:
+            cmd += ["--pairs_out", args.pairs_out]
         print(f"[eval_full_split] starting at batch {done + 1} "
               f"(attempt with {stalls} stalls so far)", flush=True)
         rc = subprocess.call(cmd)

@@ -120,6 +120,21 @@ STAGES = {
                "--save_freq", "10", "--val_freq", "10", "--remat",
                "--host_val"],
     ),
+    # V: stage U's exact recipe on data rebuilt AFTER the mathtext
+    # digit-base script fix (render_data.compact_latex): stage U's renders
+    # collapsed ^/_ on every scripted digit (sup and sub pixel-identical —
+    # 21% of scripts, 84% of equations), capping exact match at the
+    # coin-flip ceiling (~32%; measured 17.5%, RESULTS.md "Typeset
+    # accuracy"). Same equations (seed 19), unambiguous renders.
+    "V": dict(
+        data="data_typeset48k_v2",
+        dataset=["--n", "48000", "--realistic", "--typeset", "--seed", "19"],
+        train=["--epochs", "40", "--lr", "3e-4", "--warmup_steps", "200",
+               "--decay_steps", "48000", "--eval_max_len", "475",
+               "--eval_batch_size", "32", "--eval_batches", "225",
+               "--save_freq", "10", "--val_freq", "10", "--remat",
+               "--host_val"],
+    ),
 }
 
 ORDER = list(STAGES)
@@ -198,10 +213,16 @@ def main() -> int:
         else:
             print(f"[stage {name}] dataset {data_dir} exists, skipping build")
 
+        # Auto-record: each stage's final eval JSON lands in the repo's
+        # results/ directory as part of the run, so a round can't end with
+        # a completed experiment unreported (VERDICT r3 #6).
+        metrics_out = os.path.join(
+            os.path.dirname(here), "results", f"stage_{name}.json")
         cmd = [py, os.path.join(here, "demo_train_tpu.py"),
                "--data", data_dir, "--device_data", "--augment",
                "--batch_size", str(args.batch_size),
-               "--save_dir", save_dir] + spec["train"]
+               "--save_dir", save_dir,
+               "--metrics_out", metrics_out] + spec["train"]
         if prev_ckpt:
             cmd += ["--init_from", prev_ckpt]
         run(cmd, args.dry_run)
