@@ -144,6 +144,13 @@ class ModelConfig:
     # _TPU_DEFAULTS["remat"]). Affects only the teacher-forced training
     # forward; the cached decode path never differentiates.
     remat: bool = False
+    # Keep XLA optimization barriers around rematted regions. Required in a
+    # plain jitted host-loop train step (forward+backward in one program —
+    # CSE would undo the recompute and void the HBM savings); safely dropped
+    # inside the device-resident lax.scan step, where CSE cannot cross loop
+    # bodies and barriers only pessimize fusion. from_dict derives it from
+    # the 'device_data' flag.
+    remat_prevent_cse: bool = True
 
     @staticmethod
     def from_dict(config: dict) -> "ModelConfig":
@@ -194,6 +201,7 @@ class ModelConfig:
             use_flash_attention=_resolve_flash(config["use_flash_attention"]),
             kv_quant=config["kv_quant"],
             remat=bool(config["remat"]),
+            remat_prevent_cse=not bool(config["device_data"]),
         )
 
 

@@ -351,11 +351,20 @@ def _sublayer_step(mdl: "AttentionStack", x, enc, mask, enc_mask,
     return x
 
 
-# prevent_cse=False: the rematted step runs inside lax.scan / jitted train
-# steps where XLA cannot CSE across iterations; the flag avoids the
-# optimization-barrier ops that would otherwise pessimize fusion.
+# prevent_cse=False is safe ONLY when the forward and backward live in
+# different XLA loop bodies — the device-resident lax.scan train step —
+# where CSE cannot reach across iterations and the optimization-barrier ops
+# would just pessimize fusion. In a plain jitted host-loop step (forward +
+# backward in ONE program) CSE would re-merge the recomputed activations
+# with the originals and silently void remat's HBM savings, so that path
+# keeps the barrier (prevent_cse=True). Selection: AttentionStack
+# .remat_prevent_cse, derived from the config's device_data flag
+# (config.py ModelConfig.from_dict).
 _sublayer_step_remat = nn.remat(
     _sublayer_step, static_argnums=(5, 6, 7, 8), prevent_cse=False
+)
+_sublayer_step_remat_barrier = nn.remat(
+    _sublayer_step, static_argnums=(5, 6, 7, 8), prevent_cse=True
 )
 
 
@@ -375,6 +384,10 @@ class AttentionStack(nn.Module):
     dtype: Dtype = jnp.float32
     use_flash: bool = False
     remat: bool = False
+    # True (safe default) keeps XLA optimization barriers around rematted
+    # sub-layers; the device-resident scan train step sets False (see the
+    # comment above _sublayer_step_remat).
+    remat_prevent_cse: bool = True
 
     def setup(self):
         # ONE norm instance, reused everywhere (reference attention.py:200,221).
@@ -441,11 +454,16 @@ class AttentionStack(nn.Module):
             raise ValueError("Must provide enc if cross_attend is True.")
         n_sub = self.num_layers * (3 if self.cross_attend else 2)
         if self.remat and not return_hidden:
+            step = (
+                _sublayer_step_remat_barrier
+                if self.remat_prevent_cse
+                else _sublayer_step_remat
+            )
             idx = 0
             for layer in range(self.num_layers):
                 for kind, _ in self._sublayers(layer):
                     idx += 1
-                    x = _sublayer_step_remat(
+                    x = step(
                         self, x, enc, mask, enc_mask,
                         layer, kind, deterministic, idx != n_sub,
                     )

@@ -30,6 +30,7 @@ class TransformerDecoder(nn.Module):
     dtype: Dtype = jnp.float32
     use_flash: bool = False
     remat: bool = False
+    remat_prevent_cse: bool = True
 
     def setup(self):
         cfg = self.config
@@ -62,6 +63,7 @@ class TransformerDecoder(nn.Module):
             dtype=self.dtype,
             use_flash=self.use_flash,
             remat=self.remat,
+            remat_prevent_cse=self.remat_prevent_cse,
             name="attn_layers",
         )
         self.norm = nn.LayerNorm(

@@ -68,6 +68,7 @@ class VisionEncoder(nn.Module):
     dtype: Dtype = jnp.float32
     use_flash: bool = False
     remat: bool = False
+    remat_prevent_cse: bool = True
 
     def setup(self):
         cfg = self.config
@@ -78,6 +79,7 @@ class VisionEncoder(nn.Module):
                 stem_channels=cfg.stem_channels,
                 dtype=self.dtype,
                 remat=self.remat,
+                remat_prevent_cse=self.remat_prevent_cse,
                 name="backbone",
             )
             # Reduced patchify: with the /16 backbone the projection is
@@ -125,6 +127,7 @@ class VisionEncoder(nn.Module):
             dtype=self.dtype,
             use_flash=self.use_flash,
             remat=self.remat,
+            remat_prevent_cse=self.remat_prevent_cse,
             name="attn_layers",
         )
         self.norm = nn.LayerNorm(

@@ -30,6 +30,7 @@ class OCRModel(nn.Module):
             dtype=dtype,
             use_flash=self.config.use_flash_attention,
             remat=self.config.remat,
+            remat_prevent_cse=self.config.remat_prevent_cse,
             name="encoder",
         )
         self.decoder = TransformerDecoder(
@@ -37,6 +38,7 @@ class OCRModel(nn.Module):
             dtype=dtype,
             use_flash=self.config.use_flash_attention,
             remat=self.config.remat,
+            remat_prevent_cse=self.config.remat_prevent_cse,
             name="decoder",
         )
 

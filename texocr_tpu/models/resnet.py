@@ -65,6 +65,7 @@ class Stage(nn.Module):
     stride: int
     dtype: Dtype = jnp.float32
     remat: bool = False
+    remat_prevent_cse: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -73,8 +74,12 @@ class Stage(nn.Module):
         # early high-resolution feature maps dominate training HBM at the
         # (160, 1008) canvas. Param structure is unchanged (nn.remat lifts
         # the module transparently), so checkpoints are interchangeable.
+        # prevent_cse=False only inside the scan train step (see
+        # models/attention.py:_sublayer_step_remat for the full rationale).
         block_cls = (
-            nn.remat(Bottleneck, prevent_cse=False) if self.remat else Bottleneck
+            nn.remat(Bottleneck, prevent_cse=self.remat_prevent_cse)
+            if self.remat
+            else Bottleneck
         )
         for i in range(self.depth):
             x = block_cls(
@@ -96,6 +101,7 @@ class ResNetV2(nn.Module):
     out_stride: int = 32
     dtype: Dtype = jnp.float32
     remat: bool = False
+    remat_prevent_cse: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -118,6 +124,7 @@ class ResNetV2(nn.Module):
                 stride=stride,
                 dtype=self.dtype,
                 remat=self.remat,
+                remat_prevent_cse=self.remat_prevent_cse,
                 name=f"stage{stage_id}",
             )(h)
             curr_stride *= stride

@@ -207,8 +207,19 @@ def phase_train(model, h, w, seq_len, results, batch=32, steps=16,
     })
 
 
+def _decoder_attn_inner(dec_params) -> int:
+    """Attention inner dim (heads*dim_head) read off a q-projection kernel's
+    output axis, so the FLOP model tracks the real model config rather than
+    a hardcoded 512."""
+    for path, leaf in jax.tree_util.tree_flatten_with_path(dec_params)[0]:
+        keys = [str(getattr(p, "key", p)) for p in path]
+        if len(keys) >= 2 and keys[-2] == "q" and keys[-1] == "kernel":
+            return int(leaf.shape[-1])
+    raise ValueError("no q/kernel found in decoder params")
+
+
 def decoder_step_flops(params, t_cache: int, t_enc: int,
-                       num_layers: int = 4, d_inner: int = 512) -> float:
+                       num_layers: int = 4) -> float:
     """Analytic per-token decoder FLOPs (one KV-cached decode step, batch 1).
 
     XLA's cost model counts the decode while/scan bodies once, so the
@@ -218,7 +229,7 @@ def decoder_step_flops(params, t_cache: int, t_enc: int,
     """
     dec = {k: v for k, v in params["params"].items() if "decoder" in k.lower()}
     dense = 2 * matmul_param_count(dec)
-    attn = num_layers * 4 * d_inner * (t_cache + t_enc)
+    attn = num_layers * 4 * _decoder_attn_inner(dec) * (t_cache + t_enc)
     return float(dense + attn)
 
 
@@ -245,8 +256,14 @@ def phase_decode(model, params, results, enc_flops):
     # Encoder flops from the cost model (loop-free, trustworthy at this
     # batch) + analytic KV-cached decoder step flops x steps (see
     # decoder_step_flops); the raw cost-model total is kept for reference.
+    # t_enc comes from an abstract trace of the encoder (631 for the
+    # (160,1008) canvas: 10*63 patches + CLS) so canvas/patch-size changes
+    # propagate into the FLOP model.
+    t_enc = jax.eval_shape(
+        lambda p, im: model.apply(p, im, method=OCRModel.encode),
+        params, jax.ShapeDtypeStruct((B, H, W, 1), jnp.float32)).shape[1]
     fl = enc_flops + B * STEPS * decoder_step_flops(
-        params, t_cache=STEPS, t_enc=631,
+        params, t_cache=STEPS, t_enc=t_enc,
         num_layers=cfg.decoder.num_layers)
     float(decode(params, batches[0]))
     best, times = time_runs(decode, [(params, b) for b in batches[1:]])
