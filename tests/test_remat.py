@@ -95,3 +95,39 @@ def test_remat_inside_scan_train_step(setup):
     )
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 2
+
+
+def test_prevent_cse_derived_from_device_data():
+    """prevent_cse barriers stay ON for the host-loop train step (forward and
+    backward in ONE jitted program, where CSE could undo the recompute) and
+    are dropped only in device_data scan mode, where fwd/bwd live in
+    different loop bodies (models/attention.py _sublayer_step_remat)."""
+    assert tiny_model_config(remat=True).remat_prevent_cse is True
+    assert (
+        tiny_model_config(remat=True, device_data=True).remat_prevent_cse
+        is False
+    )
+
+
+@pytest.mark.parametrize("deterministic", [True, False])
+def test_prevent_cse_does_not_change_math(setup, deterministic):
+    """Barrier on vs off is purely a compiler hint: identical loss/grads."""
+    _, model_r, _, images, targets = setup
+    # Fresh params: the fixture's were donated by the scan-step test above.
+    params = model_r.init(jax.random.PRNGKey(0), images, targets)
+    cfg_scan = tiny_model_config(remat=True, device_data=True)
+    assert cfg_scan.remat_prevent_cse is False
+    model_scan = OCRModel(cfg_scan)
+    loss, grads = _value_and_grad(
+        model_r, params, images, targets, deterministic
+    )
+    loss_s, grads_s = _value_and_grad(
+        model_scan, params, images, targets, deterministic
+    )
+    np.testing.assert_allclose(float(loss), float(loss_s), rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(grads), jax.tree_util.tree_leaves(grads_s)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
