@@ -47,6 +47,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batches", type=str, default="8",
                    help="comma-separated batch sizes to sweep, e.g. 8,16,32")
+    p.add_argument("--profile", type=str, default=None,
+                   help="jax.profiler trace dir: wraps one extra decode per "
+                        "batch size (summarize with tools/xplane_top.py)")
     args = p.parse_args()
     batch_sizes = [int(b) for b in args.batches.split(",")]
 
@@ -109,6 +112,12 @@ def main():
         ips = batch / best
         log(f"b{batch} runs: {[f'{t:.3f}s' for t in times]} "
             f"-> {ips:.2f} images/sec")
+
+        if args.profile:
+            from texocr_tpu.telemetry import profile_trace
+
+            with profile_trace(os.path.join(args.profile, f"b{batch}")):
+                float(decode(params, batches[1]))
 
         print(
             json.dumps(
