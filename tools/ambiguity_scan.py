@@ -59,6 +59,52 @@ def _render_hash(eq: str, dpi: int, compact: bool) -> str:
     return h.hexdigest()
 
 
+def _flip_one_digit_script(tokens: list[str]) -> list[str] | None:
+    """Flip the FIRST digit-base ^/_ occurrence (the construct the pre-fix
+    renderer collapsed); None if the label has none."""
+    for i in range(1, len(tokens)):
+        if tokens[i] in ("^", "_") and tokens[i - 1].isdigit():
+            out = list(tokens)
+            out[i] = "_" if tokens[i] == "^" else "^"
+            return out
+    return None
+
+
+def run_fliptest(labels, dpi: int, compact: bool, limit: int | None):
+    """Injectivity test: a dataset-collision scan can't see ambiguity
+    against labels OUTSIDE the dataset, so perturb each label at the known
+    ambiguity site (digit-base ^/_) and check the render changes. Under the
+    pre-fix renderer every flip renders identically (the script operator is
+    silently dropped); under the fixed renderer none should."""
+    tested = collisions = skipped = 0
+    for eq in labels:
+        flipped = _flip_one_digit_script(eq.split(" "))
+        if flipped is None:
+            continue
+        if limit and tested >= limit:
+            break
+        try:
+            ha = _render_hash(eq, dpi, compact)
+            hb = _render_hash(" ".join(flipped), dpi, compact)
+        except Exception:
+            skipped += 1
+            continue
+        tested += 1
+        collisions += ha == hb
+        if tested % 250 == 0:
+            print(f"  fliptest {tested} tested, {collisions} collisions",
+                  flush=True)
+    print(json.dumps({
+        "fliptest_labels": tested,
+        "flip_renders_identical": collisions,
+        "flip_collision_rate": round(collisions / max(tested, 1), 4),
+        "failed": skipped,
+        "mode": "raw (pre-fix)" if not compact else "compacted (fixed)",
+        "dpi": dpi,
+    }))
+    return 0
+
+
 def main() -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--labels", required=True,
@@ -66,6 +112,11 @@ def main() -> int:
     p.add_argument("--dpi", type=int, default=125)
     p.add_argument("--raw", action="store_true",
                    help="bypass compact_latex (pre-fix renderer semantics)")
+    p.add_argument("--fliptest", action="store_true",
+                   help="instead of the dataset-collision scan, flip one "
+                        "digit-base ^/_ per label and count identical "
+                        "renders (injectivity against out-of-dataset "
+                        "neighbors)")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--examples", type=int, default=8,
                    help="print up to N colliding label pairs")
@@ -73,6 +124,9 @@ def main() -> int:
 
     with open(args.labels) as f:
         labels = [ln.rstrip("\n") for ln in f if ln.strip()]
+    if args.fliptest:
+        return run_fliptest(labels, args.dpi, compact=not args.raw,
+                            limit=args.limit)
     if args.limit:
         labels = labels[: args.limit]
 

@@ -282,6 +282,13 @@ def phase_decode(model, params, results, enc_flops):
 
 
 def main():
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--skip_typeset", action="store_true",
+                   help="skip the remat typeset-regime train row")
+    args = p.parse_args()
+
     log(f"device: {jax.devices()[0]}")
     results = []
 
@@ -296,6 +303,16 @@ def main():
     # sustained number was unmeasured).
     phase_train(model, 96, 1008, 512, results)
     phase_train(model, 160, 1008, 512, results, n_images=512)
+    if not args.skip_typeset:
+        # The typeset-curriculum regime (stages U/V): tall (160,1008)
+        # buckets at seq 640 with remat — the shapes that OOM'd without
+        # rematerialization. Measures remat's FLOP/HBM trade directly.
+        model_t = OCRModel(dataclasses.replace(
+            _flagship_config(max_length=640, dtype="bfloat16"),
+            use_flash_attention=jax.default_backend() == "tpu",
+            remat=True, remat_prevent_cse=False))
+        phase_train(model_t, 160, 1008, 640, results, n_images=512)
+        results[-1]["phase"] += " [remat, typeset regime]"
     phase_decode(model, params, results, enc_flops)
 
     log("| phase | GFLOPs/call | time | TFLOP/s | % v5e bf16 peak | img/s |")

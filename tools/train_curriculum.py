@@ -135,6 +135,19 @@ STAGES = {
                "--save_freq", "10", "--val_freq", "10", "--remat",
                "--host_val"],
     ),
+    # W: the typeset regime at the reference's full 100k data scale —
+    # the same data-scaling step that took the PIL regime from 96.45%
+    # (stage F, 48k) to 99.39% exact match (stage G, 100k). Warm-starts
+    # from stage V.
+    "W": dict(
+        data="data_typeset100k",
+        dataset=["--n", "100000", "--realistic", "--typeset", "--seed", "23"],
+        train=["--epochs", "40", "--lr", "3e-4", "--warmup_steps", "200",
+               "--decay_steps", "100000", "--eval_max_len", "475",
+               "--eval_batch_size", "32", "--eval_batches", "200",
+               "--save_freq", "10", "--val_freq", "10", "--remat",
+               "--host_val"],
+    ),
 }
 
 ORDER = list(STAGES)
