@@ -200,3 +200,46 @@ def test_sampled_decode_respects_topk_filter(setup):
         )
         for row in range(s.shape[0]):
             assert s[row, 0] in topk[row], (seed, row, s[row, 0], topk[row])
+
+
+def test_split_cache_attention_matches_monolithic():
+    """The split-cache decode attention (_attend_split over merged + hot
+    windows) must equal monolithic cached attention over the same positions.
+
+    This is the unit-level guarantee behind the hot-window decode design
+    (RESULTS.md "KV-cache write cost"): masking merged positions >= t0 and
+    hot positions > w exposes exactly the prefix 0..t0+w."""
+    from texocr_tpu.models.attention import MultiHeadAttention
+
+    rng = np.random.default_rng(7)
+    B, H, dh, T, W = 3, 2, 8, 16, 4
+    q = jnp.asarray(rng.standard_normal((B, H, 1, dh)), jnp.float32)
+    # Absolute-position K/V stream 0..t0+w, laid out both ways.
+    kv = rng.standard_normal((2, B, H, dh, T)).astype(np.float32)
+    k_all, v_all = jnp.asarray(kv[0]), jnp.asarray(kv[1])
+    scale = dh**-0.5
+
+    for t0 in (0, 4, 8, 12):
+        for w in (0, 1, 3):
+            # Monolithic: everything up to absolute index t0 + w.
+            key_ok = (jnp.arange(T) <= t0 + w)[None, None, None, :]
+            want = MultiHeadAttention._attend_transposed(
+                q, k_all, v_all, scale, key_ok
+            )
+            # Split: merged prefix < t0 in (B,H,dh,T); current chunk in the
+            # sequence-major (W,B,H,dh) hot window.
+            big_k = jnp.where(jnp.arange(T) < t0, k_all, 0.0)
+            big_v = jnp.where(jnp.arange(T) < t0, v_all, 0.0)
+            hot_k = jnp.moveaxis(
+                jax.lax.dynamic_slice_in_dim(k_all, t0, W, axis=3), 3, 0
+            )
+            hot_v = jnp.moveaxis(
+                jax.lax.dynamic_slice_in_dim(v_all, t0, W, axis=3), 3, 0
+            )
+            got = MultiHeadAttention._attend_split(
+                q, big_k, big_v, hot_k, hot_v, scale, t0, w
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5,
+                err_msg=f"t0={t0} w={w}",
+            )

@@ -29,8 +29,10 @@ from flax import linen as nn
 from texocr_tpu.models.layers import MLP, Dtype, TorchDense
 from texocr_tpu.ops.attention_core import attention_core
 
-#: Decode-time self-attention cache: per-layer tuple of {"k","v"} arrays in
-#: the transposed (B, H, dh, T) layout (see AttentionStack.init_cache).
+#: Decode-time self-attention cache: per-layer tuple of {"k","v"} arrays.
+#: The MERGED cache is (B, H, dh, T) (see AttentionStack.init_cache); the
+#: per-chunk HOT window is sequence-major (W, B, H, dh) (init_hot). The two
+#: are combined by merge_hot at chunk boundaries.
 KVCache = Tuple[Dict[str, jnp.ndarray], ...]
 
 
@@ -42,6 +44,32 @@ def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
 def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     b, h, n, d = x.shape
     return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+
+
+def merge_hot(cache: KVCache, hot: KVCache, t0) -> KVCache:
+    """Fold a decoded chunk's hot K/V window into the merged cache.
+
+    ``cache``: per-layer (B, H, dh, T); ``hot``: per-layer (W, B, H, dh);
+    ``t0``: the chunk's base position. One transpose + one
+    dynamic_update_slice per layer per chunk — amortized over the W decode
+    steps, versus a pathological per-step update of the big buffer (see
+    MultiHeadAttention.step). Parameter-free, so callers use it directly
+    (no ``Module.apply`` needed)."""
+    out = []
+    for layer_cache, layer_hot in zip(cache, hot):
+        hk = layer_hot["k"].transpose(1, 2, 3, 0)  # (B, H, dh, W)
+        hv = layer_hot["v"].transpose(1, 2, 3, 0)
+        out.append(
+            {
+                "k": jax.lax.dynamic_update_slice(
+                    layer_cache["k"], hk, (0, 0, 0, t0)
+                ),
+                "v": jax.lax.dynamic_update_slice(
+                    layer_cache["v"], hv, (0, 0, 0, t0)
+                ),
+            }
+        )
+    return tuple(out)
 
 
 class MultiHeadAttention(nn.Module):
@@ -142,7 +170,7 @@ class MultiHeadAttention(nn.Module):
     def project_kv_transposed(
         self, src: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """K/V in the decode-cache layout (B, H, dh, T).
+        """K/V in the merged-cache layout (B, H, dh, T).
 
         The sequence dim sits on the TPU lane (minor-most) axis: T is large
         and ~128-aligned, whereas dh=64 would waste half of every 128-wide
@@ -152,12 +180,24 @@ class MultiHeadAttention(nn.Module):
         k, v = self.project_kv(src)
         return k.transpose(0, 1, 3, 2), v.transpose(0, 1, 3, 2)
 
+    def project_kv_tmajor(
+        self, src: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """K/V of a single-position input in the hot-window layout
+        (1, B, H, dh) — sequence-major, so the per-step cache append is a
+        contiguous (free) dynamic_update_slice."""
+        k, v = self.project_kv(src)  # (B, H, 1, dh)
+        return k.transpose(2, 0, 1, 3), v.transpose(2, 0, 1, 3)
+
     @staticmethod
     def _attend_transposed(q, k_t, v_t, scale, key_ok):
-        """softmax(q K^T) V with K/V in (B, H, dh, T) layout; q: (B, H, 1, dh).
+        """softmax(q K^T) V with K/V in (B, H, dh, N) layout; q: (B, H, 1, dh).
 
-        Masked fill with -finfo.max (matching the reference's masked_fill,
-        attention.py:149-163); softmax in float32.
+        Used by the cross-attention decode path, whose K/V are STATIC
+        (precomputed once per sequence) — no per-step writes, so the
+        monolithic layout is fine there. Masked fill with -finfo.max
+        (matching the reference's masked_fill, attention.py:149-163);
+        softmax in float32.
         """
         logits = jnp.einsum(
             "bhqd,bhdt->bhqt", q, k_t, preferred_element_type=jnp.float32
@@ -168,20 +208,71 @@ class MultiHeadAttention(nn.Module):
             "bhqt,bhdt->bhqd", probs, v_t, preferred_element_type=jnp.float32
         ).astype(q.dtype)
 
+    @staticmethod
+    def _attend_split(q, big_k, big_v, hot_k, hot_v, scale, t0, w):
+        """softmax(q K^T) V over the split decode cache; q: (B, H, 1, dh).
+
+        Exactly the positions a monolithic cache would expose are unmasked:
+        merged positions < t0 (big) plus in-chunk positions <= w (hot,
+        absolute t0..t0+w). Masked fill with -finfo.max (matching the
+        reference's masked_fill, attention.py:149-163); softmax in float32
+        over the concatenated [big | hot] score vector.
+        """
+        t_big = big_k.shape[3]
+        w_max = hot_k.shape[0]
+        neg = -jnp.finfo(jnp.float32).max
+        s_big = jnp.einsum(
+            "bhqd,bhdt->bhqt", q, big_k, preferred_element_type=jnp.float32
+        ) * jnp.float32(scale)
+        s_hot = jnp.einsum(
+            "bhqd,wbhd->bhqw", q, hot_k, preferred_element_type=jnp.float32
+        ) * jnp.float32(scale)
+        ok_big = (jnp.arange(t_big) < t0)[None, None, None, :]
+        ok_hot = (jnp.arange(w_max) <= w)[None, None, None, :]
+        s = jnp.concatenate(
+            [jnp.where(ok_big, s_big, neg), jnp.where(ok_hot, s_hot, neg)],
+            axis=-1,
+        )
+        probs = jax.nn.softmax(s, axis=-1)
+        p_big = probs[..., :t_big].astype(q.dtype)
+        p_hot = probs[..., t_big:].astype(q.dtype)
+        out = jnp.einsum(
+            "bhqt,bhdt->bhqd", p_big, big_v, preferred_element_type=jnp.float32
+        ) + jnp.einsum(
+            "bhqw,wbhd->bhqd", p_hot, hot_v, preferred_element_type=jnp.float32
+        )
+        return out.astype(q.dtype)
+
     def step(
         self,
         x_t: jnp.ndarray,
-        cache_k: jnp.ndarray,
-        cache_v: jnp.ndarray,
-        index: jnp.ndarray,
+        big_k: jnp.ndarray,
+        big_v: jnp.ndarray,
+        hot_k: jnp.ndarray,
+        hot_v: jnp.ndarray,
+        t0: jnp.ndarray,
+        w: jnp.ndarray,
         fused_qkv: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """Single cached self-attention decode step.
+        """Single cached self-attention decode step over the SPLIT cache.
 
-        ``x_t``: (B, 1, D) current-token activations; ``cache_k``/``cache_v``:
-        (B, H, dh, T_max) (transposed layout); ``index``: scalar int32 current
-        position. Returns (out (B, 1, D), new_cache_k, new_cache_v).
-        Causality is enforced by masking keys at positions > index.
+        The cache is split so every per-step buffer write stays on a TPU
+        fast path (measured in RESULTS.md "KV-cache write cost": a per-step
+        dynamic_update_slice on a non-major axis of a large buffer costs a
+        full masked pass over the buffer — ~320us for an 84MB cache, 48.9%
+        of beam decode device time before this split):
+
+        - ``big_k``/``big_v``: (B, H, dh, T) merged prefix — READ-ONLY here
+          (positions < t0 valid). It changes only at chunk boundaries
+          (``merge_hot``), so XLA hoists any relayout out of the inner
+          decode loop and its per-step dots run at the HBM floor.
+        - ``hot_k``/``hot_v``: (W, B, H, dh) sequence-MAJOR window holding
+          the current chunk's K/V — the per-step append at (w, 0, 0, 0) is
+          contiguous and effectively free.
+
+        ``x_t``: (B, 1, D) current-token activations; ``t0``: merged prefix
+        length (chunk base); ``w``: position within the chunk (the absolute
+        position is t0 + w). Returns (out (B, 1, D), hot_k, hot_v).
 
         ``fused_qkv``: optional (D, 3*inner) concatenation of the q/k/v
         kernels, precomputed OUTSIDE the decode loop — one matmul instead of
@@ -191,67 +282,96 @@ class MultiHeadAttention(nn.Module):
             qkv = jnp.dot(x_t.astype(self.dtype), fused_qkv.astype(self.dtype))
             q_r, k_r, v_r = jnp.split(qkv, 3, axis=-1)
             q = _split_heads(q_r, self.heads)
-            k_t = _split_heads(k_r, self.heads).transpose(0, 1, 3, 2)
-            v_t = _split_heads(v_r, self.heads).transpose(0, 1, 3, 2)
+            k_t = _split_heads(k_r, self.heads).transpose(2, 0, 1, 3)
+            v_t = _split_heads(v_r, self.heads).transpose(2, 0, 1, 3)
         else:
             q = _split_heads(self.q_proj(x_t), self.heads)  # (B, H, 1, dh)
-            k_t, v_t = self.project_kv_transposed(x_t)  # (B, H, dh, 1)
-        cache_k = jax.lax.dynamic_update_slice(cache_k, k_t, (0, 0, 0, index))
-        cache_v = jax.lax.dynamic_update_slice(cache_v, v_t, (0, 0, 0, index))
+            k_t, v_t = self.project_kv_tmajor(x_t)  # (1, B, H, dh)
+        hot_k = jax.lax.dynamic_update_slice(hot_k, k_t, (w, 0, 0, 0))
+        hot_v = jax.lax.dynamic_update_slice(hot_v, v_t, (w, 0, 0, 0))
 
-        t_max = cache_k.shape[3]
-        key_ok = (jnp.arange(t_max) <= index)[None, None, None, :]
-        out = self._attend_transposed(
-            q, cache_k, cache_v, self.dim_head**-0.5, key_ok
+        out = self._attend_split(
+            q, big_k, big_v, hot_k, hot_v, self.dim_head**-0.5, t0, w
         )
-        return self._finish(out), cache_k, cache_v
+        return self._finish(out), hot_k, hot_v
 
     def step_beam(
         self,
         x_t: jnp.ndarray,
-        cache_k: jnp.ndarray,
-        cache_v: jnp.ndarray,
-        index: jnp.ndarray,
+        big_k: jnp.ndarray,
+        big_v: jnp.ndarray,
+        hot_k: jnp.ndarray,
+        hot_v: jnp.ndarray,
+        t0: jnp.ndarray,
+        w: jnp.ndarray,
         beam_sel: jnp.ndarray,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """Cached self-attention step for beam search WITHOUT cache reordering.
+        """Cached self-attention step for beam search WITHOUT cache reordering,
+        over the SPLIT cache (see ``step`` for the split's rationale).
 
-        Cache rows never move; instead ``beam_sel`` (B, beam, beam, T) float
-        with [b, i, j, t] = 1 iff beam slot i's position-t K/V lives in cache
-        row j (the ancestry one-hot) selects the right rows inside the
-        attention. Scores are computed against ALL beam rows of the same image
-        — beam x more MXU work on tiny (1, dh) x (dh, T) matmuls, but the K/V
-        HBM reads are unchanged and the old per-step full-cache gather
-        (a read+write of the whole cache) disappears entirely.
+        Cache rows never move; instead ``beam_sel`` (B, beam, beam, T_total)
+        float with [b, i, j, t] = 1 iff beam slot i's position-t K/V lives in
+        cache row j (the ancestry one-hot, indexed by ABSOLUTE position)
+        selects the right rows inside the attention. Scores are computed
+        against ALL beam rows of the same image — beam x more MXU work on
+        tiny (1, dh) x (dh, T) matmuls, but the K/V HBM reads are unchanged
+        and the old per-step full-cache gather disappears entirely.
 
-        ``x_t``: (B*beam, 1, D); ``cache_k``/``cache_v``: (B*beam, H, dh, T).
+        ``x_t``: (B*beam, 1, D); ``big_k``/``big_v``: (B*beam, H, dh, T);
+        ``hot_k``/``hot_v``: (W, B*beam, H, dh); ``t0``/``w``: chunk base /
+        in-chunk position.
         """
         q = _split_heads(self.q_proj(x_t), self.heads)  # (Bb, H, 1, dh)
-        k_t, v_t = self.project_kv_transposed(x_t)  # (Bb, H, dh, 1)
-        cache_k = jax.lax.dynamic_update_slice(cache_k, k_t, (0, 0, 0, index))
-        cache_v = jax.lax.dynamic_update_slice(cache_v, v_t, (0, 0, 0, index))
+        k_t, v_t = self.project_kv_tmajor(x_t)  # (1, Bb, H, dh)
+        hot_k = jax.lax.dynamic_update_slice(hot_k, k_t, (w, 0, 0, 0))
+        hot_v = jax.lax.dynamic_update_slice(hot_v, v_t, (w, 0, 0, 0))
 
         batch, beam = beam_sel.shape[0], beam_sel.shape[1]
-        t_max = cache_k.shape[3]
+        t_big = big_k.shape[3]
+        w_max = hot_k.shape[0]
         qb = q.reshape(batch, beam, self.heads, self.dim_head)
-        kb = cache_k.reshape(batch, beam, self.heads, self.dim_head, t_max)
-        vb = cache_v.reshape(batch, beam, self.heads, self.dim_head, t_max)
+        kb = big_k.reshape(batch, beam, self.heads, self.dim_head, t_big)
+        vb = big_v.reshape(batch, beam, self.heads, self.dim_head, t_big)
+        hkb = hot_k.reshape(w_max, batch, beam, self.heads, self.dim_head)
+        hvb = hot_v.reshape(w_max, batch, beam, self.heads, self.dim_head)
+        sel_big = beam_sel[..., :t_big]
+        sel_hot = jax.lax.dynamic_slice(
+            beam_sel, (0, 0, 0, t0), (batch, beam, beam, w_max)
+        )
 
+        scale = jnp.float32(self.dim_head**-0.5)
         # (B, i, j, H, T): slot i's query against every row j's keys.
-        logits = jnp.einsum(
+        lb = jnp.einsum(
             "bihd,bjhdt->bijht", qb, kb, preferred_element_type=jnp.float32
-        ) * jnp.float32(self.dim_head**-0.5)
+        ) * scale
+        lh = jnp.einsum(
+            "bihd,wbjhd->bijhw", qb, hkb, preferred_element_type=jnp.float32
+        ) * scale
         # Ancestry selection: exactly one j survives per (b, i, t).
-        logits = jnp.sum(logits * beam_sel[:, :, :, None, :], axis=2)
-        key_ok = (jnp.arange(t_max) <= index)[None, None, None, :]
-        logits = jnp.where(key_ok, logits, -jnp.finfo(jnp.float32).max)
-        probs = jax.nn.softmax(logits, axis=-1)  # (B, i, H, T) f32
-        w = (probs[:, :, None, :, :] * beam_sel[:, :, :, None, :]).astype(q.dtype)
-        out = jnp.einsum(
-            "bijht,bjhdt->bihd", w, vb, preferred_element_type=jnp.float32
+        lb = jnp.sum(lb * sel_big[:, :, :, None, :], axis=2)  # (B, i, H, T)
+        lh = jnp.sum(lh * sel_hot[:, :, :, None, :], axis=2)  # (B, i, H, W)
+        neg = -jnp.finfo(jnp.float32).max
+        ok_big = (jnp.arange(t_big) < t0)[None, None, None, :]
+        ok_hot = (jnp.arange(w_max) <= w)[None, None, None, :]
+        s = jnp.concatenate(
+            [jnp.where(ok_big, lb, neg), jnp.where(ok_hot, lh, neg)], axis=-1
+        )
+        probs = jax.nn.softmax(s, axis=-1)  # (B, i, H, T+W) f32
+        pb = (
+            probs[..., :t_big][:, :, None, :, :] * sel_big[:, :, :, None, :]
         ).astype(q.dtype)
-        out = out.reshape(batch * beam, self.heads, 1, self.dim_head)
-        return self._finish(out), cache_k, cache_v
+        ph = (
+            probs[..., t_big:][:, :, None, :, :] * sel_hot[:, :, :, None, :]
+        ).astype(q.dtype)
+        out = jnp.einsum(
+            "bijht,bjhdt->bihd", pb, vb, preferred_element_type=jnp.float32
+        ) + jnp.einsum(
+            "bijhw,wbjhd->bihd", ph, hvb, preferred_element_type=jnp.float32
+        )
+        out = out.astype(q.dtype).reshape(
+            batch * beam, self.heads, 1, self.dim_head
+        )
+        return self._finish(out), hot_k, hot_v
 
     def attend_cached_kv_beam(
         self,
@@ -508,13 +628,30 @@ class AttentionStack(nn.Module):
     # ------------------------------------------------------------------
 
     def init_cache(self, batch: int, max_len: int) -> KVCache:
-        """Zeroed static-shape self-attention KV cache: a per-layer tuple of
-        {'k','v'} arrays, each (B, H, dh, T) — transposed so the sequence dim
-        sits on the 128-wide lane axis (dh=64 as the minor dim wastes half of
-        every lane tile). Per-layer leaves (rather than one stacked (L, ...)
-        array) let XLA alias the dynamic_update_slice in the decode
-        while-loop in place instead of copying the whole cache every step."""
+        """Zeroed static-shape MERGED self-attention KV cache: a per-layer
+        tuple of {'k','v'} arrays, each (B, H, dh, T) — transposed so the
+        sequence dim sits on the 128-wide lane axis (dh=64 as the minor dim
+        wastes half of every lane tile). This buffer is read-only inside the
+        per-step decode loop; per-step K/V land in the small sequence-major
+        hot window (``init_hot``) and are merged in one contiguous write per
+        chunk (``merge_hot``) — a per-step dynamic_update_slice here costs a
+        full masked pass over the buffer on TPU (measured ~48.9% of beam
+        decode device time)."""
         shape = (batch, self.heads, self.dim_head, max_len)
+        return tuple(
+            {
+                "k": jnp.zeros(shape, dtype=self.dtype),
+                "v": jnp.zeros(shape, dtype=self.dtype),
+            }
+            for _ in range(self.num_layers)
+        )
+
+    def init_hot(self, batch: int, window: int) -> KVCache:
+        """Zeroed per-layer hot K/V window, each (W, B, H, dh): sequence-MAJOR
+        so the per-step append (dynamic_update_slice at (w, 0, 0, 0)) is a
+        contiguous write — the TPU fast path. Reset at every chunk boundary
+        after ``merge_hot`` folds it into the merged cache."""
+        shape = (window, batch, self.heads, self.dim_head)
         return tuple(
             {
                 "k": jnp.zeros(shape, dtype=self.dtype),
@@ -563,17 +700,25 @@ class AttentionStack(nn.Module):
         self,
         x_t: jnp.ndarray,
         cache: KVCache,
-        index: jnp.ndarray,
+        hot: KVCache,
+        t0: jnp.ndarray,
+        w: jnp.ndarray,
         cross_kv=None,
         enc_mask: Optional[jnp.ndarray] = None,
         fused_qkv=None,
     ) -> Tuple[jnp.ndarray, KVCache]:
         """One decode step over the whole stack for (B, 1, D) input.
 
+        ``cache`` is the read-only merged prefix (positions < t0);
+        ``hot`` is the per-chunk sequence-major window this step appends to
+        at in-chunk position ``w``. Only the updated ``hot`` is returned —
+        the caller merges it into ``cache`` at chunk boundaries
+        (``merge_hot``).
+
         ``fused_qkv``: optional per-layer tuple of concatenated self-attn
         q/k/v kernels (built once outside the loop; see generate.py)."""
         n_sub = self.num_layers * (3 if self.cross_attend else 2)
-        new_cache = []
+        new_hot = []
         idx = 0
         x = x_t
         for layer in range(self.num_layers):
@@ -581,11 +726,12 @@ class AttentionStack(nn.Module):
                 residual = x
                 h = self._norm(x)
                 if kind == "self":
-                    out, ck, cv = block.step(
-                        h, cache[layer]["k"], cache[layer]["v"], index,
+                    out, hk, hv = block.step(
+                        h, cache[layer]["k"], cache[layer]["v"],
+                        hot[layer]["k"], hot[layer]["v"], t0, w,
                         fused_qkv=None if fused_qkv is None else fused_qkv[layer],
                     )
-                    new_cache.append({"k": ck, "v": cv})
+                    new_hot.append({"k": hk, "v": hv})
                 elif kind == "cross":
                     out = block.attend_cached_kv(
                         h, cross_kv[layer], key_mask=enc_mask
@@ -596,13 +742,15 @@ class AttentionStack(nn.Module):
                 idx += 1
                 if idx != n_sub:
                     x = self._norm(x)
-        return x, tuple(new_cache)
+        return x, tuple(new_hot)
 
     def step_beam(
         self,
         x_t: jnp.ndarray,
         cache: KVCache,
-        index: jnp.ndarray,
+        hot: KVCache,
+        t0: jnp.ndarray,
+        w: jnp.ndarray,
         beam_sel: jnp.ndarray,
         cross_kv=None,
         enc_mask: Optional[jnp.ndarray] = None,
@@ -610,14 +758,14 @@ class AttentionStack(nn.Module):
         """One beam-search decode step over the whole stack.
 
         Like ``step`` but caches are never reordered: ``beam_sel``
-        (B, beam, beam, T) is the ancestry one-hot consumed by the
-        self-attention, and ``cross_kv``/``enc_mask`` stay at batch level
-        (B, ...) — shared by all beams of an image (see
+        (B, beam, beam, T_total) is the ancestry one-hot consumed by the
+        self-attention (absolute positions), and ``cross_kv``/``enc_mask``
+        stay at batch level (B, ...) — shared by all beams of an image (see
         MultiHeadAttention.step_beam / attend_cached_kv_beam).
         ``x_t``: (B*beam, 1, D) current-token activations."""
         beam = beam_sel.shape[1]
         n_sub = self.num_layers * (3 if self.cross_attend else 2)
-        new_cache = []
+        new_hot = []
         idx = 0
         x = x_t
         for layer in range(self.num_layers):
@@ -625,10 +773,11 @@ class AttentionStack(nn.Module):
                 residual = x
                 h = self._norm(x)
                 if kind == "self":
-                    out, ck, cv = block.step_beam(
-                        h, cache[layer]["k"], cache[layer]["v"], index, beam_sel
+                    out, hk, hv = block.step_beam(
+                        h, cache[layer]["k"], cache[layer]["v"],
+                        hot[layer]["k"], hot[layer]["v"], t0, w, beam_sel,
                     )
-                    new_cache.append({"k": ck, "v": cv})
+                    new_hot.append({"k": hk, "v": hv})
                 elif kind == "cross":
                     out = block.attend_cached_kv_beam(
                         h, cross_kv[layer], beam, key_mask=enc_mask
@@ -639,4 +788,4 @@ class AttentionStack(nn.Module):
                 idx += 1
                 if idx != n_sub:
                     x = self._norm(x)
-        return x, tuple(new_cache)
+        return x, tuple(new_hot)

@@ -122,6 +122,9 @@ class TransformerDecoder(nn.Module):
     def init_cache(self, batch: int, max_len: int) -> KVCache:
         return self.attn_layers.init_cache(batch, max_len)
 
+    def init_hot(self, batch: int, window: int) -> KVCache:
+        return self.attn_layers.init_hot(batch, window)
+
     def precompute_cross_kv(self, enc: jnp.ndarray, quant: str = "none"):
         return self.attn_layers.precompute_cross_kv(enc, quant=quant)
 
@@ -129,39 +132,47 @@ class TransformerDecoder(nn.Module):
         self,
         token_t: jnp.ndarray,
         index: jnp.ndarray,
+        w: jnp.ndarray,
         cache: KVCache,
+        hot: KVCache,
         cross_kv=None,
         enc_mask: Optional[jnp.ndarray] = None,
         fused_qkv=None,
     ) -> Tuple[jnp.ndarray, KVCache]:
         """Next-token logits for the token at absolute position ``index``.
 
-        token_t: (B,) int32; returns ((B, V) logits, updated cache).
+        ``cache`` is the read-only merged prefix; ``hot`` the current
+        chunk's window, appended at in-chunk position ``w`` (= index - t0).
+        token_t: (B,) int32; returns ((B, V) logits, updated hot).
         """
         x = self._embed(token_t[:, None], index[None, None])
-        x, cache = self.attn_layers.step(
-            x, cache, index, cross_kv=cross_kv, enc_mask=enc_mask,
+        x, hot = self.attn_layers.step(
+            x, cache, hot, index - w, w, cross_kv=cross_kv, enc_mask=enc_mask,
             fused_qkv=fused_qkv,
         )
         x = self.norm(x.astype(jnp.float32)).astype(self.dtype)
-        return self.to_logits(x)[:, 0, :], cache
+        return self.to_logits(x)[:, 0, :], hot
 
     def step_beam(
         self,
         token_t: jnp.ndarray,
         index: jnp.ndarray,
+        w: jnp.ndarray,
         cache: KVCache,
+        hot: KVCache,
         beam_sel: jnp.ndarray,
         cross_kv=None,
         enc_mask: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, KVCache]:
         """Beam-search decode step: (B*beam,) token ids -> ((B*beam, V)
-        logits, cache). Caches stay row-stable; ``beam_sel`` is the ancestry
-        one-hot (see AttentionStack.step_beam). ``cross_kv``/``enc_mask`` are
-        batch-level (unexpanded)."""
+        logits, updated hot). Caches stay row-stable; ``beam_sel`` is the
+        ancestry one-hot over absolute positions (see
+        AttentionStack.step_beam). ``cross_kv``/``enc_mask`` are batch-level
+        (unexpanded)."""
         x = self._embed(token_t[:, None], index[None, None])
-        x, cache = self.attn_layers.step_beam(
-            x, cache, index, beam_sel, cross_kv=cross_kv, enc_mask=enc_mask
+        x, hot = self.attn_layers.step_beam(
+            x, cache, hot, index - w, w, beam_sel, cross_kv=cross_kv,
+            enc_mask=enc_mask,
         )
         x = self.norm(x.astype(jnp.float32)).astype(self.dtype)
-        return self.to_logits(x)[:, 0, :], cache
+        return self.to_logits(x)[:, 0, :], hot

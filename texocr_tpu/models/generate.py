@@ -6,9 +6,12 @@ decoder.py:97-116) — with a ``lax.while_loop`` that:
 
 - encodes once, precomputes per-layer cross-attention K/V of the encoder
   output once,
-- appends one self-attention K/V per step into static per-layer
-  (B, H, dh, T) caches (in-place dynamic_update_slice; the sequence dim sits
-  on the TPU lane axis),
+- appends one self-attention K/V per step into a small sequence-major
+  per-layer hot window ((W, B, H, dh) — a contiguous, effectively free
+  write) and folds the window into the read-only merged (B, H, dh, T)
+  caches once per chunk (models/attention.py merge_hot; a per-step update
+  of the big caches costs a full masked pass over them on TPU — formerly
+  ~half of decode device time),
 - keeps per-row done flags and stops as soon as every row has emitted EOS
   (the reference's stopping rule, decoder.py:115: "every row contains EOS"),
 - writes PAD into rows that are already done (the reference keeps sampling
@@ -34,15 +37,17 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from texocr_tpu.models.attention import merge_hot
 from texocr_tpu.models.ocr_model import OCRModel
 from texocr_tpu.utils import topk_filter
 
 
 
-#: Steps per inner scan chunk. The inner lax.scan runs CHUNK decode steps
-#: with no done-checks (lets XLA pipeline the loop body); the outer
-#: lax.while_loop checks the per-row done flags between chunks, so a batch
-#: that finishes early stops within CHUNK steps of the last EOS.
+#: Steps per inner scan chunk — also the hot K/V window size. The inner
+#: lax.scan runs CHUNK decode steps with no done-checks (lets XLA pipeline
+#: the loop body) against a frozen merged cache; the outer lax.while_loop
+#: merges the hot window and checks the per-row done flags between chunks,
+#: so a batch that finishes early stops within CHUNK steps of the last EOS.
 DECODE_CHUNK = 32
 
 
@@ -69,8 +74,13 @@ def _decode_loop(
     # Buffers are rounded up to a whole number of chunks so the inner scan
     # never needs a bounds guard; the result is sliced back to max_len.
     padded_len = -(-max_len // chunk) * chunk
+    # Merged K/V prefix — READ-ONLY inside the inner scan; per-step K/V go
+    # to the sequence-major hot window and are folded in once per chunk
+    # (models/attention.py merge_hot — a per-step update of this buffer
+    # costs a full masked pass over it on TPU, formerly ~half of decode
+    # device time; see RESULTS.md "KV-cache write cost").
     cache = model.apply(
-        variables, batch, padded_len + 1, method=OCRModel.decoder_init_cache
+        variables, batch, padded_len, method=OCRModel.decoder_init_cache
     )
     cross_kv = model.apply(variables, enc, method=OCRModel.decoder_cross_kv)
 
@@ -84,37 +94,53 @@ def _decode_loop(
         else jnp.zeros((0,), dtype=jnp.float32)
     )
 
-    def step_body(carry, _):
-        step, cur, cache, tokens, done, extra, logits_buf = carry
-        logits, cache = model.apply(
-            variables,
-            cur,
-            step,
-            cache,
-            cross_kv,
-            enc_mask,
-            method=OCRModel.decoder_step,
-        )
-        logits = logits.astype(jnp.float32)
-        if return_logits:
-            logits_buf = jax.lax.dynamic_update_slice(
-                logits_buf, logits[:, None, :], (0, step, 0)
-            )
-        nxt, extra = sample_fn(logits, extra)
-        # A finished row stops evolving: emit PAD and freeze the done flag.
-        # Past-EOS cache garbage is harmless — those rows' outputs are fixed.
-        nxt = jnp.where(done, pad_token, nxt).astype(jnp.int32)
-        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, step))
-        done = done | (nxt == eos_token)
-        return (step + 1, nxt, cache, tokens, done, extra, logits_buf), None
-
     def cond(state):
-        step, _, _, _, done, _, _ = state
-        return (step < max_len) & ~jnp.all(done)
+        step0, _, _, _, done, _, _ = state
+        return (step0 < max_len) & ~jnp.all(done)
 
     def chunk_body(state):
-        state, _ = jax.lax.scan(step_body, state, None, length=chunk)
-        return state
+        step0, cur, cache, tokens, done, extra, logits_buf = state
+        hot = model.apply(
+            variables, batch, chunk, method=OCRModel.decoder_init_hot
+        )
+
+        def step_body(carry, w):
+            cur, hot, tokens, done, extra, logits_buf = carry
+            step = step0 + w
+            logits, hot = model.apply(
+                variables,
+                cur,
+                step,
+                w,
+                cache,
+                hot,
+                cross_kv,
+                enc_mask,
+                method=OCRModel.decoder_step,
+            )
+            logits = logits.astype(jnp.float32)
+            if return_logits:
+                logits_buf = jax.lax.dynamic_update_slice(
+                    logits_buf, logits[:, None, :], (0, step, 0)
+                )
+            nxt, extra = sample_fn(logits, extra)
+            # A finished row stops evolving: emit PAD and freeze the done
+            # flag. Past-EOS cache garbage is harmless — those rows' outputs
+            # are fixed.
+            nxt = jnp.where(done, pad_token, nxt).astype(jnp.int32)
+            tokens = jax.lax.dynamic_update_slice(
+                tokens, nxt[:, None], (0, step)
+            )
+            done = done | (nxt == eos_token)
+            return (nxt, hot, tokens, done, extra, logits_buf), None
+
+        (cur, hot, tokens, done, extra, logits_buf), _ = jax.lax.scan(
+            step_body,
+            (cur, hot, tokens, done, extra, logits_buf),
+            jnp.arange(chunk),
+        )
+        cache = merge_hot(cache, hot, step0)
+        return (step0 + chunk, cur, cache, tokens, done, extra, logits_buf)
 
     state = (0, cur, cache, tokens, done, init_carry_extra, logits_buf)
     state = jax.lax.while_loop(cond, chunk_body, state)

@@ -84,20 +84,23 @@ class OCRModel(nn.Module):
     def decoder_init_cache(self, batch: int, max_len: int):
         return self.decoder.init_cache(batch, max_len)
 
+    def decoder_init_hot(self, batch: int, window: int):
+        return self.decoder.init_hot(batch, window)
+
     def decoder_cross_kv(self, enc: jnp.ndarray):
         return self.decoder.precompute_cross_kv(enc, quant=self.config.kv_quant)
 
-    def decoder_step(self, token_t, index, cache, cross_kv, enc_mask=None,
-                     fused_qkv=None):
+    def decoder_step(self, token_t, index, w, cache, hot, cross_kv,
+                     enc_mask=None, fused_qkv=None):
         return self.decoder.step(
-            token_t, index, cache, cross_kv=cross_kv, enc_mask=enc_mask,
-            fused_qkv=fused_qkv,
+            token_t, index, w, cache, hot, cross_kv=cross_kv,
+            enc_mask=enc_mask, fused_qkv=fused_qkv,
         )
 
-    def decoder_step_beam(self, token_t, index, cache, beam_sel, cross_kv,
-                          enc_mask=None):
+    def decoder_step_beam(self, token_t, index, w, cache, hot, beam_sel,
+                          cross_kv, enc_mask=None):
         return self.decoder.step_beam(
-            token_t, index, cache, beam_sel, cross_kv=cross_kv,
+            token_t, index, w, cache, hot, beam_sel, cross_kv=cross_kv,
             enc_mask=enc_mask,
         )
 
