@@ -61,11 +61,13 @@ def main():
         dataclasses.replace(
             _flagship_config(max_length=512, dtype="bfloat16"),
             use_flash_attention=True,
-            # kv_quant='int8' halves cross-KV HBM traffic but that DMA is
-            # already overlapped with per-step compute; the extra dequant ops
-            # land on the critical path and cost ~7% (measured 183 vs 196
-            # img/s). Leave it off here; it pays at larger batch/enc sizes.
-            kv_quant="none",
+            # Cross-KV int8: at batch 64 the dequant ops cost ~7% (183 vs
+            # 196 img/s) because the KV DMA overlapped with compute. After
+            # the split-cache fix removed the per-step DUS stalls, the b256
+            # profile puts the 8 cross-attention K/V streams at 48% of
+            # device time (1.3 GB/step bf16) — halving them now wins more
+            # than the dequant costs. Override with TEXOCR_BENCH_KV_QUANT.
+            kv_quant=os.environ.get("TEXOCR_BENCH_KV_QUANT", "int8"),
         )
     )
 
