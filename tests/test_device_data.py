@@ -190,6 +190,34 @@ def test_from_dataset_max_canvas_filter(dataset):
         assert h <= bound[0] and w <= bound[1]
 
 
+def test_from_dataset_bucket_cap(dataset, capsys):
+    """bucket_cap bounds resident rows per bucket with a deterministic
+    seeded subset (resume-stable) and reports dropped rows loudly — the
+    HBM spill knob for datasets whose buckets + backward exceed the chip
+    (the 100k typeset regime)."""
+    full = DeviceResidentData.from_dataset(dataset, seq_pad_multiple=8)
+    cap = min(b.n for b in full.buckets.values()) - 1
+    assert cap >= 1
+    a = DeviceResidentData.from_dataset(dataset, seq_pad_multiple=8,
+                                        bucket_cap=cap)
+    out = capsys.readouterr().out
+    assert "dropped, seeded subset" in out
+    b = DeviceResidentData.from_dataset(dataset, seq_pad_multiple=8,
+                                        bucket_cap=cap)
+    for key, ba in a.buckets.items():
+        assert ba.n == cap
+        # Deterministic across rebuilds: identical rows staged.
+        bb = b.buckets[key]
+        assert (np.asarray(ba.images) == np.asarray(bb.images)).all()
+        assert (np.asarray(ba.labels) == np.asarray(bb.labels)).all()
+        # The subset is drawn from the full bucket's rows.
+        full_imgs = np.asarray(full.buckets[key].images)
+        cap_imgs = np.asarray(ba.images)[:cap]
+        flat = full_imgs.reshape(full_imgs.shape[0], -1)
+        for row in cap_imgs.reshape(cap, -1):
+            assert (flat == row).all(axis=1).any()
+
+
 def test_plan_covers_each_bucket_once():
     """plan() chunks every bucket into disjoint (steps, start) slices whose
     union is exactly one pass: starts are contiguous and sum(steps) =

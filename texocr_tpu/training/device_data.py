@@ -125,6 +125,7 @@ class DeviceResidentData:
         mesh=None,
         max_canvas: Optional[Tuple[int, int]] = None,
         size_round: int = 1,
+        bucket_cap: Optional[int] = None,
     ) -> "DeviceResidentData":
         """``mesh`` replicates each bucket across the mesh's devices (the
         dataset is small relative to HBM; replication keeps the on-device
@@ -137,7 +138,16 @@ class DeviceResidentData:
         count and the scan steps never sample the padding). The bucket row
         count is part of the compiled executable's input shape, so without
         rounding EVERY dataset-size change recompiles every bucket — minutes
-        per shape through the remote-compile tunnel."""
+        per shape through the remote-compile tunnel.
+
+        ``bucket_cap`` bounds the RESIDENT rows per bucket: a bucket larger
+        than the cap stages a seeded (per-bucket-key, epoch-stable) random
+        subset instead of the whole bucket. This is the HBM spill knob for
+        datasets whose buckets + backward activations exceed the chip — at
+        the 100k typeset scale the (160,1008) bucket alone is 8.2 GB and the
+        remat backward no longer fits beside it. Dropped rows are reported
+        loudly (never a silent cap); the subset is deterministic so
+        resume/restart trains on the same rows."""
         if mesh is not None and device is None:
             from jax.sharding import NamedSharding, PartitionSpec
 
@@ -154,6 +164,17 @@ class DeviceResidentData:
             # bound, e.g. (32, 640) trains the single-line stage first.
             if max_canvas is not None and (h > max_canvas[0] or w > max_canvas[1]):
                 continue
+            if bucket_cap is not None and len(idxs) > bucket_cap:
+                rng = np.random.default_rng(h * 1_000_003 + w)
+                keep = np.sort(
+                    rng.choice(len(idxs), size=bucket_cap, replace=False)
+                )
+                print(
+                    f"  bucket ({h}, {w}): bucket_cap {bucket_cap} keeps "
+                    f"{bucket_cap}/{len(idxs)} rows "
+                    f"({len(idxs) - bucket_cap} dropped, seeded subset)"
+                )
+                idxs = [idxs[i] for i in keep]
             n = len(idxs)
             n_pad = pad_to_multiple(n, size_round)
             rows = idxs + [idxs[i % n] for i in range(n_pad - n)]

@@ -239,6 +239,7 @@ def _train_device_resident(
         mesh=mesh,
         max_canvas=config.get("device_data_max_canvas"),
         size_round=size_round,
+        bucket_cap=config.get("device_data_bucket_cap"),
     )
     # device_data_val=False keeps the val split on the HOST (streamed per
     # batch through the plain eval step) instead of staging it in HBM — the

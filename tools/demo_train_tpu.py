@@ -58,6 +58,10 @@ def main():
                    help="linear lr warmup steps (with --decay_steps)")
     p.add_argument("--decay_steps", type=int, default=0,
                    help="cosine decay horizon in steps; 0 = constant lr")
+    p.add_argument("--bucket_cap", type=int, default=None,
+                   help="max resident rows per device bucket (seeded random "
+                        "subset when a bucket exceeds it) — the HBM spill "
+                        "knob for datasets too big to stage whole")
     p.add_argument("--max_canvas", type=int, nargs=2, default=None,
                    metavar=("H", "W"),
                    help="curriculum: train only on buckets within (H, W)")
@@ -133,6 +137,7 @@ def main():
         "device_data_max_canvas": (
             tuple(args.max_canvas) if args.max_canvas else None
         ),
+        "device_data_bucket_cap": args.bucket_cap,
         "encoder": {"n_channels": 1, "embed_dim": 256, "num_layers": 4,
                     "heads": 8},
         "decoder": {"embed_dim": 256, "num_layers": 4, "heads": 8,
