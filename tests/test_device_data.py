@@ -218,6 +218,35 @@ def test_from_dataset_bucket_cap(dataset, capsys):
             assert (flat == row).all(axis=1).any()
 
 
+def test_from_dataset_pack4_gather_close(dataset):
+    """pack_bits=4 halves resident image bytes; the on-device unpack in
+    gather_batch reproduces pixels within the 4-bit rounding budget (15/255)
+    and EXACTLY at the 0/255 background/ink endpoints. Labels and crop
+    semantics are untouched."""
+    from texocr_tpu.training.device_data import gather_batch
+
+    full = DeviceResidentData.from_dataset(dataset, seq_pad_multiple=8)
+    packed = DeviceResidentData.from_dataset(dataset, seq_pad_multiple=8,
+                                             pack_bits=4)
+    for key, bf in full.buckets.items():
+        bp = packed.buckets[key]
+        assert bp.pack_bits == 4
+        assert bp.true_w == bf.true_w and bp.true_len == bf.true_len
+        assert bp.images.nbytes <= bf.images.nbytes // 2 + bf.images.shape[0] * bf.images.shape[1] * 128
+        idx = jnp.arange(min(4, bf.n))
+        fi, fl = gather_batch(bf.images, bf.labels, idx, bf.true_w,
+                              bf.true_len, bf.pack_bits)
+        pi, pl = gather_batch(bp.images, bp.labels, idx, bp.true_w,
+                              bp.true_len, bp.pack_bits)
+        assert fi.shape == pi.shape
+        assert (np.asarray(fl) == np.asarray(pl)).all()
+        err = np.abs(np.asarray(fi) - np.asarray(pi))
+        assert err.max() <= 15.5 / 255.0
+        # Background (0 after inversion) and full ink (1) survive exactly.
+        exact = (np.asarray(fi) == 0.0) | (np.asarray(fi) == 1.0)
+        assert (err[exact] == 0.0).all()
+
+
 def test_plan_covers_each_bucket_once():
     """plan() chunks every bucket into disjoint (steps, start) slices whose
     union is exactly one pass: starts are contiguous and sum(steps) =

@@ -65,15 +65,24 @@ class DeviceBucket:
 
     ``images``/``labels`` are stored lane-padded (see ``LANE``); ``true_w``
     and ``true_len`` are the logical width / label length the model sees —
-    gather_batch crops each gathered batch back to them."""
+    gather_batch crops each gathered batch back to them.
+
+    ``pack_bits=4`` means ``images`` holds TWO horizontally-adjacent pixels
+    per byte (even pixel in the high nibble), halving residency; gather_batch
+    unpacks on device. Renders are near-binary (white background, black
+    glyphs, a thin antialiased edge), so 16 gray levels lose at most 15/255
+    per pixel — less than the train-time brightness jitter."""
 
     def __init__(self, images: jax.Array, labels: jax.Array, n: int,
-                 true_w: Optional[int] = None, true_len: Optional[int] = None):
-        self.images = images  # uint8 (N, H, W_pad)
+                 true_w: Optional[int] = None, true_len: Optional[int] = None,
+                 pack_bits: int = 8):
+        self.images = images  # uint8 (N, H, W_pad) or packed (N, H, W_pad/2)
         self.labels = labels  # int32 (N, L_pad) BOS/seq/EOS/PAD rows
         self.n = n
-        self.true_w = true_w if true_w is not None else images.shape[2]
+        unpacked_w = images.shape[2] * (2 if pack_bits == 4 else 1)
+        self.true_w = true_w if true_w is not None else unpacked_w
         self.true_len = true_len if true_len is not None else labels.shape[1]
+        self.pack_bits = pack_bits
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -126,6 +135,7 @@ class DeviceResidentData:
         max_canvas: Optional[Tuple[int, int]] = None,
         size_round: int = 1,
         bucket_cap: Optional[int] = None,
+        pack_bits: int = 8,
     ) -> "DeviceResidentData":
         """``mesh`` replicates each bucket across the mesh's devices (the
         dataset is small relative to HBM; replication keeps the on-device
@@ -147,7 +157,13 @@ class DeviceResidentData:
         the 100k typeset scale the (160,1008) bucket alone is 8.2 GB and the
         remat backward no longer fits beside it. Dropped rows are reported
         loudly (never a silent cap); the subset is deterministic so
-        resume/restart trains on the same rows."""
+        resume/restart trains on the same rows.
+
+        ``pack_bits=4`` stores two pixels per byte (round-to-nearest 4-bit
+        gray, unpacked on device by gather_batch) — the non-lossy-in-practice
+        alternative to bucket_cap when the dataset alone overflows HBM: at
+        the 100k typeset scale it keeps ALL rows resident in ~5.1 GB instead
+        of dropping 30% of them."""
         if mesh is not None and device is None:
             from jax.sharding import NamedSharding, PartitionSpec
 
@@ -189,10 +205,23 @@ class DeviceResidentData:
             # never sees the padding — it exists only so the on-device
             # gather is zero-copy (see LANE).
             true_w, true_len = imgs.shape[2], labs.shape[1]
-            w_pad = pad_to_multiple(true_w, LANE) - true_w
+            if pack_bits == 4:
+                # Round-to-nearest 4-bit gray, two pixels per byte (even
+                # pixel in the high nibble). Pack BEFORE lane-padding so the
+                # stored minor dim is the packed one; 0xFF padding unpacks
+                # to the white background.
+                if imgs.shape[2] % 2:
+                    imgs = np.pad(imgs, ((0, 0), (0, 0), (0, 1)),
+                                  constant_values=255)
+                q = np.minimum((imgs.astype(np.uint16) + 8) >> 4, 15)
+                imgs = ((q[:, :, 0::2] << 4) | q[:, :, 1::2]).astype(np.uint8)
+                pad_val = 0xFF
+            else:
+                pad_val = 255
+            w_pad = pad_to_multiple(imgs.shape[2], LANE) - imgs.shape[2]
             if w_pad:
                 imgs = np.pad(imgs, ((0, 0), (0, 0), (0, w_pad)),
-                              constant_values=255)
+                              constant_values=pad_val)
             l_pad = pad_to_multiple(true_len, LANE) - true_len
             if l_pad:
                 labs = np.pad(labs, ((0, 0), (0, l_pad)), constant_values=pad)
@@ -202,6 +231,7 @@ class DeviceResidentData:
                 n,
                 true_w=true_w,
                 true_len=true_len,
+                pack_bits=pack_bits,
             )
         return cls(buckets, max_seq)
 
@@ -231,14 +261,23 @@ def gather_batch(
     idx: jax.Array,
     crop_w: Optional[int] = None,
     crop_len: Optional[int] = None,
+    pack_bits: int = 8,
 ) -> Tuple[jax.Array, jax.Array]:
     """On-device batch materialization: gather rows (zero-copy against the
-    lane-padded bucket, see ``LANE``), crop the BATCH back to the logical
-    dims (static slice of batch-sized arrays — cheap), then the host
+    lane-padded bucket, see ``LANE``), unpack 4-bit storage if the bucket is
+    packed (a few VPU ops on the BATCH only), crop the BATCH back to the
+    logical dims (static slice of batch-sized arrays — cheap), then the host
     collator's arithmetic (transforms.to_model_array): f32 /255, invert,
     add channel."""
     imgs = jnp.take(images_u8, idx, axis=0)
     labs = jnp.take(labels, idx, axis=0)
+    if pack_bits == 4:
+        # x17 maps the 4-bit code back onto 0..255 exactly at the endpoints
+        # (15*17 = 255: background/ink are lossless; edge grays within 15).
+        hi = (imgs >> 4) * jnp.uint8(17)
+        lo = (imgs & jnp.uint8(0xF)) * jnp.uint8(17)
+        b, h2, wp = imgs.shape
+        imgs = jnp.stack([hi, lo], axis=-1).reshape(b, h2, 2 * wp)
     if crop_w is not None and crop_w != imgs.shape[2]:
         imgs = imgs[:, :, :crop_w]
     if crop_len is not None and crop_len != labs.shape[1]:
@@ -307,9 +346,10 @@ def make_scan_train_step(
 
         batch_spec = batch_sharding(mesh)
 
-    @partial(jax.jit, donate_argnums=(0,), static_argnums=(8, 9))
+    @partial(jax.jit, donate_argnums=(0,), static_argnums=(8, 9, 10))
     def run(state: TrainState, images_u8, labels_all, n_steps, n_real,
-            start=0, perm_seed=0, bucket_tag=0, crop_w=None, crop_len=None):
+            start=0, perm_seed=0, bucket_tag=0, crop_w=None, crop_len=None,
+            pack_bits=8):
         n_padded = images_u8.shape[0]
         # Selection keys diverge from dropout keys via a tag fold so the two
         # streams never collide (dropout folds (rng, step) directly). The key
@@ -340,7 +380,7 @@ def make_scan_train_step(
                 % n_real
             )
             images, labels = gather_batch(
-                images_u8, labels_all, idx, crop_w, crop_len
+                images_u8, labels_all, idx, crop_w, crop_len, pack_bits
             )
             if batch_spec is not None:
                 images = jax.lax.with_sharding_constraint(images, batch_spec)
@@ -420,13 +460,13 @@ def make_scan_eval_step(
     ``ceil(total / steps_cap)`` calls."""
     pad_token = model.config.pad_token
 
-    @partial(jax.jit, static_argnums=(6, 7))
+    @partial(jax.jit, static_argnums=(6, 7, 8))
     def run(params, images_u8, labels_all, n_steps, start, n_real,
-            crop_w=None, crop_len=None):
+            crop_w=None, crop_len=None, pack_bits=8):
         def do_batch(acc, s):
             idx = ((start + s) * batch_size + jnp.arange(batch_size)) % n_real
             images, labels = gather_batch(
-                images_u8, labels_all, idx, crop_w, crop_len
+                images_u8, labels_all, idx, crop_w, crop_len, pack_bits
             )
             logits, shifted = model.apply({"params": params}, images, labels)
             return acc + sequence_ce_loss(

@@ -240,6 +240,7 @@ def _train_device_resident(
         max_canvas=config.get("device_data_max_canvas"),
         size_round=size_round,
         bucket_cap=config.get("device_data_bucket_cap"),
+        pack_bits=config.get("device_data_pack_bits", 8),
     )
     # device_data_val=False keeps the val split on the HOST (streamed per
     # batch through the plain eval step) instead of staging it in HBM — the
@@ -256,6 +257,7 @@ def _train_device_resident(
             # mixes in canvases the stage deliberately excluded.
             max_canvas=config.get("device_data_max_canvas"),
             size_round=size_round,
+            pack_bits=config.get("device_data_pack_bits", 8),
         )
         if val_set is not None and val_resident
         else None
@@ -303,7 +305,7 @@ def _train_device_resident(
             # get decorrelated orders (device_data.make_scan_train_step).
             state, metrics = run_steps(
                 state, b.images, b.labels, steps, b.n, chunk_start, epoch,
-                key[0] * 4096 + key[1], b.true_w, b.true_len,
+                key[0] * 4096 + key[1], b.true_w, b.true_len, b.pack_bits,
             )
             epoch_loss = epoch_loss + metrics["loss"] * steps
             epoch_acc = epoch_acc + metrics["token_acc"] * steps
@@ -338,7 +340,7 @@ def _train_device_resident(
                     take = min(total, steps_cap)
                     val_loss = val_loss + eval_steps(
                         state.params, b.images, b.labels, take, off, b.n,
-                        b.true_w, b.true_len,
+                        b.true_w, b.true_len, b.pack_bits,
                     ) * take
                     total -= take
                     off += take

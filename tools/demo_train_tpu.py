@@ -58,6 +58,10 @@ def main():
                    help="linear lr warmup steps (with --decay_steps)")
     p.add_argument("--decay_steps", type=int, default=0,
                    help="cosine decay horizon in steps; 0 = constant lr")
+    p.add_argument("--pack_bits", type=int, default=8, choices=(8, 4),
+                   help="resident image storage depth: 4 packs two pixels "
+                        "per byte (near-binary renders; unpacked on device) "
+                        "— halves bucket HBM so full datasets stay resident")
     p.add_argument("--bucket_cap", type=int, default=None,
                    help="max resident rows per device bucket (seeded random "
                         "subset when a bucket exceeds it) — the HBM spill "
@@ -138,6 +142,7 @@ def main():
             tuple(args.max_canvas) if args.max_canvas else None
         ),
         "device_data_bucket_cap": args.bucket_cap,
+        "device_data_pack_bits": args.pack_bits,
         "encoder": {"n_channels": 1, "embed_dim": 256, "num_layers": 4,
                     "heads": 8},
         "decoder": {"embed_dim": 256, "num_layers": 4, "heads": 8,

@@ -138,10 +138,11 @@ STAGES = {
     # W: the typeset regime at the reference's full 100k data scale —
     # the same data-scaling step that took the PIL regime from 96.45%
     # (stage F, 48k) to 99.39% exact match (stage G, 100k). Warm-starts
-    # from stage V. bucket_cap: the 100k buckets total 10.2 GB and the
-    # remat backward no longer fits beside them in 16 GB HBM; 35328 caps
-    # the (160,1008) bucket at 5.8 GB (~84% of the data resident, seeded
-    # subset — see device_data.from_dataset).
+    # from stage V. pack_bits 4: the 100k buckets total 10.2 GB as uint8
+    # and the remat backward does not fit beside them in 16 GB HBM
+    # (measured: OOM at 10.2 GB and at a 7.8 GB bucket_cap subset);
+    # 4-bit packed storage keeps ALL 80k rows resident in ~5.1 GB — the
+    # footprint stage V trained at (see device_data.from_dataset).
     "W": dict(
         data="data_typeset100k",
         dataset=["--n", "100000", "--realistic", "--typeset", "--seed", "23"],
@@ -149,7 +150,7 @@ STAGES = {
                "--decay_steps", "100000", "--eval_max_len", "475",
                "--eval_batch_size", "32", "--eval_batches", "200",
                "--save_freq", "10", "--val_freq", "10", "--remat",
-               "--host_val", "--bucket_cap", "35328"],
+               "--host_val", "--pack_bits", "4"],
     ),
 }
 
