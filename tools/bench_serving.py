@@ -41,6 +41,11 @@ def main():
     p.add_argument("--mode", type=str, default="greedy",
                    choices=["greedy", "beam"],
                    help="decode mode (beam = beam-5)")
+    p.add_argument("--kv_quant", type=str, default="int8",
+                   choices=["none", "int8"],
+                   help="cross-KV cache precision (int8 = the bench.py "
+                        "default: +26%% greedy decode at b256, logits within "
+                        "the rounding budget)")
     args = p.parse_args()
 
     from PIL import Image
@@ -59,6 +64,7 @@ def main():
             "trg_pad_idx": 999,
             "max_length": 512,
             "dtype": "bfloat16",
+            "kv_quant": args.kv_quant,
             "use_flash_attention": True,
             "encoder": {"n_channels": 1, "embed_dim": 256, "num_layers": 4,
                         "heads": 8},
