@@ -172,6 +172,54 @@ def test_int8_kv_quant_decode_close(setup):
     assert err.max() / scale < 0.05, (err.max(), scale)
 
 
+def test_int8_self_kv_quant_decode_close(setup):
+    """self_kv_quant='int8' (int8 merged self-attention prefix, per-position
+    scales quantized at merge_hot) matches the bf16-cache decode's logits
+    within the int8 rounding budget. max_len spans multiple DECODE_CHUNKs so
+    the quantized prefix is actually read."""
+    import dataclasses
+
+    model, params, enc = setup
+    cfg8 = dataclasses.replace(tiny_model_config(), self_kv_quant="int8")
+    model8 = OCRModel(cfg8)
+    from texocr_tpu.models.generate import DECODE_CHUNK
+
+    n = DECODE_CHUNK + 6
+    toks, logits = greedy_decode(
+        model, params, enc, bos_token=BOS, eos_token=-1, pad_token=PAD,
+        max_len=n, return_logits=True,
+    )
+    toks8, logits8 = greedy_decode(
+        model8, params, enc, bos_token=BOS, eos_token=-1, pad_token=PAD,
+        max_len=n, return_logits=True,
+    )
+    err = np.abs(np.asarray(logits8) - np.asarray(logits))
+    scale = np.abs(np.asarray(logits)).max()
+    assert err.max() / scale < 0.05, (err.max(), scale)
+
+
+def test_int8_self_kv_quant_beam_close(setup):
+    """Beam search over the int8 merged prefix returns the same best beams
+    as the bf16 cache on the tiny model (scores differ only by the rounding
+    budget; the discrete argmax agrees at this scale)."""
+    import dataclasses
+
+    model, params, enc = setup
+    cfg8 = dataclasses.replace(tiny_model_config(), self_kv_quant="int8")
+    model8 = OCRModel(cfg8)
+    from texocr_tpu.models.generate import DECODE_CHUNK
+
+    n = DECODE_CHUNK + 6
+    kw = dict(bos_token=BOS, eos_token=EOS, pad_token=PAD, max_len=n,
+              beam_size=3, return_scores=True)
+    toks, scores = beam_decode(model, params, enc, **kw)
+    toks8, scores8 = beam_decode(model8, params, enc, **kw)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks8))
+    np.testing.assert_allclose(
+        np.asarray(scores), np.asarray(scores8), rtol=0.05, atol=0.3
+    )
+
+
 def test_sampled_decode_respects_topk_filter(setup):
     """Every sampled token must come from the top-k(99-of-1000-rule) filter
     set of that step's logits (reference utils.py:85-91 semantics). With the

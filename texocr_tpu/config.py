@@ -42,6 +42,7 @@ _TPU_DEFAULTS: Dict[str, Any] = {
     "mask_pad_loss": True,
     "seq_pad_multiple": 32,
     "kv_quant": "none",
+    "self_kv_quant": "none",
     # Rematerialize (jax.checkpoint) each transformer sub-layer and ResNet
     # bottleneck in the teacher-forced forward: backward recomputes instead
     # of storing activations. Enables large-canvas/long-seq buckets to train
@@ -140,6 +141,11 @@ class ModelConfig:
     # 'int8' quantizes the precomputed cross-attention K/V for the decode
     # loop (halves its dominant HBM traffic; exact up to int8 rounding).
     kv_quant: str = "none"
+    # 'int8' additionally stores the decode SELF-attention merged prefix in
+    # int8 with per-(B, H, t) scales, quantized once per chunk at merge_hot
+    # (the hot window stays bf16) — halves the decode loop's second-largest
+    # HBM stream. Exact up to int8 rounding of the prefix K/V.
+    self_kv_quant: str = "none"
     # Per-sub-layer / per-bottleneck activation rematerialization (see
     # _TPU_DEFAULTS["remat"]). Affects only the teacher-forced training
     # forward; the cached decode path never differentiates.
@@ -200,6 +206,7 @@ class ModelConfig:
             dtype=config["dtype"],
             use_flash_attention=_resolve_flash(config["use_flash_attention"]),
             kv_quant=config["kv_quant"],
+            self_kv_quant=config["self_kv_quant"],
             remat=bool(config["remat"]),
             remat_prevent_cse=not bool(config["device_data"]),
         )

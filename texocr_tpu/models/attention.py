@@ -46,6 +46,19 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
 
 
+def _quantize_chunk(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-position int8 quantization of a (B, H, dh, W) chunk: scales over
+    dh so every appended position carries its own scale — append-only
+    semantics, no requantization of earlier positions ever."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=2)  # (B, H, W)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale[:, :, None, :]), -127, 127).astype(
+        jnp.int8
+    )
+    return q, scale[:, :, None, :].astype(x.dtype)  # (B, H, 1, W)
+
+
 def merge_hot(cache: KVCache, hot: KVCache, t0) -> KVCache:
     """Fold a decoded chunk's hot K/V window into the merged cache.
 
@@ -54,11 +67,36 @@ def merge_hot(cache: KVCache, hot: KVCache, t0) -> KVCache:
     dynamic_update_slice per layer per chunk — amortized over the W decode
     steps, versus a pathological per-step update of the big buffer (see
     MultiHeadAttention.step). Parameter-free, so callers use it directly
-    (no ``Module.apply`` needed)."""
+    (no ``Module.apply`` needed).
+
+    If the merged cache is the int8 form ({'k8','v8','sk','sv'} from
+    init_cache(quant='int8')), the chunk is quantized here — once per
+    chunk, per-position scales over dh — so the big prefix's HBM stream
+    is half-width while the per-step hot window stays bf16."""
     out = []
     for layer_cache, layer_hot in zip(cache, hot):
         hk = layer_hot["k"].transpose(1, 2, 3, 0)  # (B, H, dh, W)
         hv = layer_hot["v"].transpose(1, 2, 3, 0)
+        if "k8" in layer_cache:
+            k8, sk = _quantize_chunk(hk)
+            v8, sv = _quantize_chunk(hv)
+            out.append(
+                {
+                    "k8": jax.lax.dynamic_update_slice(
+                        layer_cache["k8"], k8, (0, 0, 0, t0)
+                    ),
+                    "v8": jax.lax.dynamic_update_slice(
+                        layer_cache["v8"], v8, (0, 0, 0, t0)
+                    ),
+                    "sk": jax.lax.dynamic_update_slice(
+                        layer_cache["sk"], sk, (0, 0, 0, t0)
+                    ),
+                    "sv": jax.lax.dynamic_update_slice(
+                        layer_cache["sv"], sv, (0, 0, 0, t0)
+                    ),
+                }
+            )
+            continue
         out.append(
             {
                 "k": jax.lax.dynamic_update_slice(
@@ -209,7 +247,8 @@ class MultiHeadAttention(nn.Module):
         ).astype(q.dtype)
 
     @staticmethod
-    def _attend_split(q, big_k, big_v, hot_k, hot_v, scale, t0, w):
+    def _attend_split(q, big_k, big_v, hot_k, hot_v, scale, t0, w,
+                      big_sk=None, big_sv=None):
         """softmax(q K^T) V over the split decode cache; q: (B, H, 1, dh).
 
         Exactly the positions a monolithic cache would expose are unmasked:
@@ -217,13 +256,22 @@ class MultiHeadAttention(nn.Module):
         absolute t0..t0+w). Masked fill with -finfo.max (matching the
         reference's masked_fill, attention.py:149-163); softmax in float32
         over the concatenated [big | hot] score vector.
+
+        If ``big_sk``/``big_sv`` are given, ``big_k``/``big_v`` are int8
+        with per-(B, H, 1, t) scales (merge_hot quantized form): the K
+        scales multiply the logits after the dot and the V scales fold into
+        the probabilities before the dot — the only approximation is the
+        int8 rounding of the prefix itself.
         """
         t_big = big_k.shape[3]
         w_max = hot_k.shape[0]
         neg = -jnp.finfo(jnp.float32).max
         s_big = jnp.einsum(
-            "bhqd,bhdt->bhqt", q, big_k, preferred_element_type=jnp.float32
+            "bhqd,bhdt->bhqt", q, big_k.astype(q.dtype),
+            preferred_element_type=jnp.float32,
         ) * jnp.float32(scale)
+        if big_sk is not None:
+            s_big = s_big * big_sk.astype(jnp.float32)
         s_hot = jnp.einsum(
             "bhqd,wbhd->bhqw", q, hot_k, preferred_element_type=jnp.float32
         ) * jnp.float32(scale)
@@ -235,9 +283,12 @@ class MultiHeadAttention(nn.Module):
         )
         probs = jax.nn.softmax(s, axis=-1)
         p_big = probs[..., :t_big].astype(q.dtype)
+        if big_sv is not None:
+            p_big = p_big * big_sv
         p_hot = probs[..., t_big:].astype(q.dtype)
         out = jnp.einsum(
-            "bhqt,bhdt->bhqd", p_big, big_v, preferred_element_type=jnp.float32
+            "bhqt,bhdt->bhqd", p_big, big_v.astype(q.dtype),
+            preferred_element_type=jnp.float32,
         ) + jnp.einsum(
             "bhqw,wbhd->bhqd", p_hot, hot_v, preferred_element_type=jnp.float32
         )
@@ -253,6 +304,8 @@ class MultiHeadAttention(nn.Module):
         t0: jnp.ndarray,
         w: jnp.ndarray,
         fused_qkv: Optional[jnp.ndarray] = None,
+        big_sk: Optional[jnp.ndarray] = None,
+        big_sv: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Single cached self-attention decode step over the SPLIT cache.
 
@@ -291,7 +344,8 @@ class MultiHeadAttention(nn.Module):
         hot_v = jax.lax.dynamic_update_slice(hot_v, v_t, (w, 0, 0, 0))
 
         out = self._attend_split(
-            q, big_k, big_v, hot_k, hot_v, self.dim_head**-0.5, t0, w
+            q, big_k, big_v, hot_k, hot_v, self.dim_head**-0.5, t0, w,
+            big_sk=big_sk, big_sv=big_sv,
         )
         return self._finish(out), hot_k, hot_v
 
@@ -305,9 +359,14 @@ class MultiHeadAttention(nn.Module):
         t0: jnp.ndarray,
         w: jnp.ndarray,
         beam_sel: jnp.ndarray,
+        big_sk: Optional[jnp.ndarray] = None,
+        big_sv: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Cached self-attention step for beam search WITHOUT cache reordering,
         over the SPLIT cache (see ``step`` for the split's rationale).
+        ``big_sk``/``big_sv``: per-(B*beam, H, 1, t) scales when the big
+        prefix is int8 (merge_hot quantized form) — K scales multiply the
+        row-j logits, V scales fold into the selected probabilities.
 
         Cache rows never move; instead ``beam_sel`` (B, beam, beam, T_total)
         float with [b, i, j, t] = 1 iff beam slot i's position-t K/V lives in
@@ -342,8 +401,14 @@ class MultiHeadAttention(nn.Module):
         scale = jnp.float32(self.dim_head**-0.5)
         # (B, i, j, H, T): slot i's query against every row j's keys.
         lb = jnp.einsum(
-            "bihd,bjhdt->bijht", qb, kb, preferred_element_type=jnp.float32
+            "bihd,bjhdt->bijht", qb, kb.astype(q.dtype),
+            preferred_element_type=jnp.float32,
         ) * scale
+        if big_sk is not None:
+            # (B*beam, H, 1, T) -> (B, 1, j, H, T): row j's per-t K scale.
+            lb = lb * big_sk.reshape(batch, beam, self.heads, t_big)[
+                :, None, :, :, :
+            ].astype(jnp.float32)
         lh = jnp.einsum(
             "bihd,wbjhd->bijhw", qb, hkb, preferred_element_type=jnp.float32
         ) * scale
@@ -360,11 +425,16 @@ class MultiHeadAttention(nn.Module):
         pb = (
             probs[..., :t_big][:, :, None, :, :] * sel_big[:, :, :, None, :]
         ).astype(q.dtype)
+        if big_sv is not None:
+            pb = pb * big_sv.reshape(batch, beam, self.heads, t_big)[
+                :, None, :, :, :
+            ]
         ph = (
             probs[..., t_big:][:, :, None, :, :] * sel_hot[:, :, :, None, :]
         ).astype(q.dtype)
         out = jnp.einsum(
-            "bijht,bjhdt->bihd", pb, vb, preferred_element_type=jnp.float32
+            "bijht,bjhdt->bihd", pb, vb.astype(q.dtype),
+            preferred_element_type=jnp.float32,
         ) + jnp.einsum(
             "bijhw,wbjhd->bihd", ph, hvb, preferred_element_type=jnp.float32
         )
@@ -627,7 +697,8 @@ class AttentionStack(nn.Module):
     # Cached decode path
     # ------------------------------------------------------------------
 
-    def init_cache(self, batch: int, max_len: int) -> KVCache:
+    def init_cache(self, batch: int, max_len: int,
+                   quant: str = "none") -> KVCache:
         """Zeroed static-shape MERGED self-attention KV cache: a per-layer
         tuple of {'k','v'} arrays, each (B, H, dh, T) — transposed so the
         sequence dim sits on the 128-wide lane axis (dh=64 as the minor dim
@@ -636,8 +707,26 @@ class AttentionStack(nn.Module):
         hot window (``init_hot``) and are merged in one contiguous write per
         chunk (``merge_hot``) — a per-step dynamic_update_slice here costs a
         full masked pass over the buffer on TPU (measured ~48.9% of beam
-        decode device time)."""
+        decode device time).
+
+        ``quant='int8'``: per-layer {'k8','v8','sk','sv'} — int8 values plus
+        per-(B, H, 1, t) scales, filled by merge_hot's quantizing path. The
+        zero scales of unwritten positions dequantize to 0, matching the
+        bf16 init (those positions are masked in the attention anyway)."""
         shape = (batch, self.heads, self.dim_head, max_len)
+        if quant == "int8":
+            sshape = (batch, self.heads, 1, max_len)
+            return tuple(
+                {
+                    "k8": jnp.zeros(shape, dtype=jnp.int8),
+                    "v8": jnp.zeros(shape, dtype=jnp.int8),
+                    "sk": jnp.zeros(sshape, dtype=self.dtype),
+                    "sv": jnp.zeros(sshape, dtype=self.dtype),
+                }
+                for _ in range(self.num_layers)
+            )
+        if quant != "none":
+            raise ValueError(f"unknown self kv quant mode: {quant!r}")
         return tuple(
             {
                 "k": jnp.zeros(shape, dtype=self.dtype),
@@ -726,10 +815,15 @@ class AttentionStack(nn.Module):
                 residual = x
                 h = self._norm(x)
                 if kind == "self":
+                    lc = cache[layer]
+                    quant = "k8" in lc
                     out, hk, hv = block.step(
-                        h, cache[layer]["k"], cache[layer]["v"],
+                        h, lc["k8"] if quant else lc["k"],
+                        lc["v8"] if quant else lc["v"],
                         hot[layer]["k"], hot[layer]["v"], t0, w,
                         fused_qkv=None if fused_qkv is None else fused_qkv[layer],
+                        big_sk=lc["sk"] if quant else None,
+                        big_sv=lc["sv"] if quant else None,
                     )
                     new_hot.append({"k": hk, "v": hv})
                 elif kind == "cross":
@@ -773,9 +867,14 @@ class AttentionStack(nn.Module):
                 residual = x
                 h = self._norm(x)
                 if kind == "self":
+                    lc = cache[layer]
+                    quant = "k8" in lc
                     out, hk, hv = block.step_beam(
-                        h, cache[layer]["k"], cache[layer]["v"],
+                        h, lc["k8"] if quant else lc["k"],
+                        lc["v8"] if quant else lc["v"],
                         hot[layer]["k"], hot[layer]["v"], t0, w, beam_sel,
+                        big_sk=lc["sk"] if quant else None,
+                        big_sv=lc["sv"] if quant else None,
                     )
                     new_hot.append({"k": hk, "v": hv})
                 elif kind == "cross":

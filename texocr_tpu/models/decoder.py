@@ -119,8 +119,9 @@ class TransformerDecoder(nn.Module):
 
     # -- cached decode --------------------------------------------------------
 
-    def init_cache(self, batch: int, max_len: int) -> KVCache:
-        return self.attn_layers.init_cache(batch, max_len)
+    def init_cache(self, batch: int, max_len: int,
+                   quant: str = "none") -> KVCache:
+        return self.attn_layers.init_cache(batch, max_len, quant=quant)
 
     def init_hot(self, batch: int, window: int) -> KVCache:
         return self.attn_layers.init_hot(batch, window)

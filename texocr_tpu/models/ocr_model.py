@@ -82,7 +82,9 @@ class OCRModel(nn.Module):
         return self.decoder(tokens, enc=enc, mask=mask)
 
     def decoder_init_cache(self, batch: int, max_len: int):
-        return self.decoder.init_cache(batch, max_len)
+        return self.decoder.init_cache(
+            batch, max_len, quant=self.config.self_kv_quant
+        )
 
     def decoder_init_hot(self, batch: int, window: int):
         return self.decoder.init_hot(batch, window)
