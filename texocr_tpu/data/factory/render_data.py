@@ -30,6 +30,7 @@ CLI: ``python -m texocr_tpu.data.factory.render_data data/train -c config/data_c
 from __future__ import annotations
 
 import argparse
+import functools
 import random
 import shutil
 import subprocess
@@ -114,6 +115,98 @@ def compact_latex(equation: str) -> str:
     return eq.replace("\x00", " ")
 
 
+_MATHTEXT_CACHES_INSTALLED = False
+
+
+def _install_shared_mathtext_caches() -> None:
+    """Share matplotlib's glyph-metric caches process-wide (speed only).
+
+    matplotlib builds a FRESH ``Fonts`` object for every ``math_to_image``
+    call (mathtext.py ``_parse_cached``: ``fontset = fontset_class(...)``),
+    so its metric caches — installed per *instance*
+    (``self._get_info = functools.cache(...)`` in ``TruetypeFonts.__init__``,
+    and the ``functools.cache`` on ``StixFonts.get_sized_alternatives_for_
+    symbol`` whose key includes ``self``) — start cold on every render.
+    Building a 100k-equation dataset therefore recomputes every glyph
+    metric ~100k times; profiled at >40% of render time (RESULTS.md).
+
+    Every cached value is a pure function of (fontset class, resolved
+    default-font file, load_glyph_flags, call args): the backing FT2Font
+    objects are already shared process-wide via ``font_manager.get_font``,
+    so cross-instance reuse has the same semantics matplotlib's own
+    intra-instance reuse assumes. Keys include the class qualname, the
+    resolved default-font filename, and the load flags, so distinct
+    fontsets / font configs never collide. Outputs are byte-identical
+    (tests/test_factory.py regression). Best-effort: any structural
+    mismatch with the installed matplotlib leaves the stock path in place.
+    """
+    global _MATHTEXT_CACHES_INSTALLED
+    if _MATHTEXT_CACHES_INSTALLED:
+        return
+    _MATHTEXT_CACHES_INSTALLED = True
+    try:
+        import matplotlib as mpl
+        from matplotlib import _mathtext as _mt
+
+        metrics_cache: dict = {}
+        xheight_cache: dict = {}
+        sized_cache: dict = {}
+
+        tt = _mt.TruetypeFonts
+        raw_get_xheight = tt.get_xheight
+        raw_get_metrics = tt.get_metrics
+
+        # NOT cacheable across renders: the full FontInfo. Its ``glyph``
+        # member is a live slot in the (globally shared) FT2Font that
+        # ``font.clear()`` invalidates between draws — a stale one raises
+        # "glyph num is out of range" at raster time. The per-instance
+        # functools.cache matplotlib installs over _get_info stays as-is
+        # for the draw path; only glyph-free float results are shared.
+
+        def _fontset_key(self):
+            default = self._fonts.get("default")
+            fname = getattr(default, "fname", None)
+            return (type(self).__qualname__, fname, self.load_glyph_flags)
+
+        @functools.wraps(raw_get_metrics)
+        def shared_get_metrics(self, font, font_class, sym, fontsize, dpi):
+            key = (_fontset_key(self), font, font_class, sym, fontsize, dpi)
+            hit = metrics_cache.get(key)
+            if hit is None:
+                hit = metrics_cache[key] = raw_get_metrics(
+                    self, font, font_class, sym, fontsize, dpi)
+            return hit
+
+        @functools.wraps(raw_get_xheight)
+        def shared_get_xheight(self, fontname, fontsize, dpi):
+            key = (_fontset_key(self), fontname, fontsize, dpi,
+                   mpl.rcParams["mathtext.default"])
+            hit = xheight_cache.get(key)
+            if hit is None:
+                hit = xheight_cache[key] = raw_get_xheight(
+                    self, fontname, fontsize, dpi)
+            return hit
+
+        # StixFonts decorates the method with functools.cache, keying on
+        # ``self`` — useless across the per-render instances. Re-key on the
+        # class. The body only reads class-fixed font files (safe to share).
+        raw_sized = _mt.StixFonts.get_sized_alternatives_for_symbol.__wrapped__
+
+        @functools.wraps(raw_sized)
+        def shared_sized(self, fontname, sym):
+            key = (type(self).__qualname__, fontname, sym)
+            hit = sized_cache.get(key)
+            if hit is None:
+                hit = sized_cache[key] = raw_sized(self, fontname, sym)
+            return hit
+
+        tt.get_metrics = shared_get_metrics
+        tt.get_xheight = shared_get_xheight
+        _mt.StixFonts.get_sized_alternatives_for_symbol = shared_sized
+    except Exception:  # pragma: no cover - stock path on any mismatch
+        pass
+
+
 def mathtext_png(equation: str, dpi: int):
     """Typeset ONE equation with matplotlib mathtext -> tight grayscale PIL
     image (the dvipng -T tight equivalent; no padding). Raises on TeX
@@ -126,6 +219,8 @@ def mathtext_png(equation: str, dpi: int):
     import numpy as np
     from matplotlib import mathtext
     from PIL import Image
+
+    _install_shared_mathtext_caches()
 
     buf = io.BytesIO()
     # math_to_image sizes the figure to the typeset math. mathtext needs the

@@ -214,10 +214,21 @@ def render_realistic_typeset(eq: str, rng):
 
 
 def _typeset_task(task):
-    """Pool worker: render one equation deterministically (per-item seed)."""
+    """Pool worker: render one equation deterministically (per-item seed).
+
+    Resume-safe: each item's output depends only on (eq, seed), so a file
+    that already exists is identical to what this call would produce
+    (renders are byte-deterministic) and is skipped — a killed 100k build
+    restarts where it left off. The tmp+rename write keeps a kill from
+    leaving a truncated png that a later resume would wrongly skip."""
     eq, path, seed = task
+    if os.path.exists(path):
+        return
     rng = np.random.default_rng(seed)
-    render_realistic_typeset(eq, rng).save(path)
+    img = render_realistic_typeset(eq, rng)
+    tmp = path + ".tmp"
+    img.save(tmp, format="PNG")
+    os.replace(tmp, path)
 
 
 def realistic_equation(rng, term_scale=1):
