@@ -68,6 +68,13 @@ def main():
             # device time (1.3 GB/step bf16) — halving them now wins more
             # than the dequant costs. Override with TEXOCR_BENCH_KV_QUANT.
             kv_quant=os.environ.get("TEXOCR_BENCH_KV_QUANT", "int8"),
+            # Self-attention merged-prefix int8 (see attention.merge_hot):
+            # measured on-chip — at b256/256 steps the self-KV stream is
+            # ~1/3 the cross stream and the extra quant/dequant ops cost
+            # more than the saved bytes, so bf16 stays the default here.
+            # Override with TEXOCR_BENCH_SELF_KV_QUANT=int8.
+            self_kv_quant=os.environ.get("TEXOCR_BENCH_SELF_KV_QUANT",
+                                         "none"),
         )
     )
 
