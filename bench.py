@@ -135,6 +135,17 @@ def main():
     ips = BATCH / best
     log(f"runs: {[f'{t:.3f}s' for t in times]} -> {ips:.1f} images/sec")
 
+    # TEXOCR_BENCH_PROFILE=<dir>: wrap one extra decode in a jax.profiler
+    # trace of the exact shipped configuration (summarize the xplane with
+    # tools/xplane_top.py). Off the timed path so it can't skew the numbers.
+    profile_dir = os.environ.get("TEXOCR_BENCH_PROFILE")
+    if profile_dir:
+        from texocr_tpu.telemetry import profile_trace
+
+        with profile_trace(profile_dir):
+            float(decode(params, batches[1]))
+        log(f"profile trace written to {profile_dir}")
+
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
     vs = None
     baseline_batch = None

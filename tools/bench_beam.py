@@ -50,6 +50,14 @@ def main():
     p.add_argument("--profile", type=str, default=None,
                    help="jax.profiler trace dir: wraps one extra decode per "
                         "batch size (summarize with tools/xplane_top.py)")
+    p.add_argument("--kv_quant", type=str, default="int8",
+                   choices=["none", "int8"],
+                   help="cross-attention KV cache storage (default int8, "
+                        "matching bench.py's shipped decode configuration)")
+    p.add_argument("--self_kv_quant", type=str, default="none",
+                   choices=["none", "int8"],
+                   help="self-attention merged-prefix storage (default "
+                        "none, matching bench.py)")
     args = p.parse_args()
     batch_sizes = [int(b) for b in args.batches.split(",")]
 
@@ -59,8 +67,11 @@ def main():
         dataclasses.replace(
             _flagship_config(max_length=DECODE_STEPS + 1, dtype="bfloat16"),
             use_flash_attention=jax.default_backend() == "tpu",
+            kv_quant=args.kv_quant,
+            self_kv_quant=args.self_kv_quant,
         )
     )
+    log(f"kv_quant={args.kv_quant} self_kv_quant={args.self_kv_quant}")
     init_model = OCRModel(
         _flagship_config(max_length=DECODE_STEPS + 1, dtype="bfloat16")
     )
