@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from texocr_tpu.models.attention import merge_hot
-from texocr_tpu.models.generate import DECODE_CHUNK
+from texocr_tpu.models.generate import DECODE_CHUNK, _slice_cache, _tier_sizes
 from texocr_tpu.models.ocr_model import OCRModel
 
 NEG_INF = jnp.float32(-1e30)
@@ -100,65 +100,94 @@ def beam_decode(
         step0, _, _, _, _, done, _, _ = state
         return (step0 < max_len) & ~jnp.all(done)
 
+    tier_q, tier_sizes = _tier_sizes(padded_len, chunk)
+
     def chunk_body(state):
         step0, cur, cache, anc, tokens, done, scores, lengths = state
         hot = model.apply(
             variables, bb, chunk, method=OCRModel.decoder_init_hot
         )
 
-        def body(carry, w):
-            cur, hot, anc, tokens, done, scores, lengths = carry
-            step = step0 + w
-            # The token being fed now writes its K/V into its own row.
-            anc = jax.lax.dynamic_update_slice(anc, row_ids, (0, 0, step))
-            beam_sel = (
-                anc[:, :, None, :]
-                == jnp.arange(beam_size, dtype=jnp.int32)[None, None, :, None]
-            ).astype(jnp.float32)
-            logits, hot = model.apply(
-                variables,
-                cur.reshape(-1),
-                step,
-                w,
-                cache,
-                hot,
-                beam_sel,
-                cross_kv,
-                enc_mask,
-                method=OCRModel.decoder_step_beam,
+        def make_body(big):
+            def body(carry, w):
+                cur, hot, anc, tokens, done, scores, lengths = carry
+                step = step0 + w
+                # The token being fed now writes its K/V into its own row.
+                anc = jax.lax.dynamic_update_slice(anc, row_ids, (0, 0, step))
+                beam_sel = (
+                    anc[:, :, None, :]
+                    == jnp.arange(beam_size, dtype=jnp.int32)[
+                        None, None, :, None
+                    ]
+                ).astype(jnp.float32)
+                logits, hot = model.apply(
+                    variables,
+                    cur.reshape(-1),
+                    step,
+                    w,
+                    big,
+                    hot,
+                    beam_sel,
+                    cross_kv,
+                    enc_mask,
+                    method=OCRModel.decoder_step_beam,
+                )
+                logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+                logp = logp.reshape(batch, beam_size, vocab)
+
+                # Finished beams may only emit PAD, at zero cost; live beams
+                # may emit anything.
+                pad_only = jnp.full((vocab,), NEG_INF).at[pad_token].set(0.0)
+                logp = jnp.where(
+                    done[..., None], pad_only[None, None, :], logp
+                )
+
+                cand = scores[..., None] + logp  # (B, beam, V)
+                flat = cand.reshape(batch, beam_size * vocab)
+                top_scores, top_idx = jax.lax.top_k(flat, beam_size)
+                parent = top_idx // vocab  # (B, beam)
+                tok = (top_idx % vocab).astype(jnp.int32)
+
+                # Reorder per-slot state by parent — a few (B, beam[, T])
+                # int/bool gathers; the multi-MB KV caches stay put.
+                gather = lambda x: jnp.take_along_axis(x, parent, axis=1)
+                anc = jnp.take_along_axis(anc, parent[..., None], axis=1)
+                tokens = jnp.take_along_axis(
+                    tokens, parent[..., None], axis=1
+                )
+                tokens = jax.lax.dynamic_update_slice(
+                    tokens, tok[..., None], (0, 0, step)
+                )
+                new_done = gather(done) | (tok == eos_token)
+                lengths = jnp.where(gather(done), gather(lengths), step + 1)
+
+                return (
+                    tok, hot, anc, tokens, new_done, top_scores, lengths,
+                ), None
+
+            return body
+
+        def run_chunk(size, carry):
+            # Prefix dots need positions < t0 <= size only; beam_sel adapts
+            # via its own [..., :t_big] slice inside step_beam (the hot
+            # window's sel is dynamic-sliced from the full-width beam_sel
+            # either way). See generate.py PREFIX_TIERS.
+            big = _slice_cache(cache, size) if size != padded_len else cache
+            return jax.lax.scan(make_body(big), carry, jnp.arange(chunk))[0]
+
+        carry = (cur, hot, anc, tokens, done, scores, lengths)
+        if len(tier_sizes) == 1:
+            carry = run_chunk(tier_sizes[0], carry)
+        else:
+            tier = jnp.clip(
+                (step0 + tier_q - 1) // tier_q - 1, 0, len(tier_sizes) - 1
             )
-            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            logp = logp.reshape(batch, beam_size, vocab)
-
-            # Finished beams may only emit PAD, at zero cost; live beams may
-            # emit anything.
-            pad_only = jnp.full((vocab,), NEG_INF).at[pad_token].set(0.0)
-            logp = jnp.where(done[..., None], pad_only[None, None, :], logp)
-
-            cand = scores[..., None] + logp  # (B, beam, V)
-            flat = cand.reshape(batch, beam_size * vocab)
-            top_scores, top_idx = jax.lax.top_k(flat, beam_size)
-            parent = top_idx // vocab  # (B, beam)
-            tok = (top_idx % vocab).astype(jnp.int32)
-
-            # Reorder per-slot state by parent — a few (B, beam[, T])
-            # int/bool gathers; the multi-MB KV caches stay put.
-            gather = lambda x: jnp.take_along_axis(x, parent, axis=1)
-            anc = jnp.take_along_axis(anc, parent[..., None], axis=1)
-            tokens = jnp.take_along_axis(tokens, parent[..., None], axis=1)
-            tokens = jax.lax.dynamic_update_slice(
-                tokens, tok[..., None], (0, 0, step)
+            carry = jax.lax.switch(
+                tier,
+                [lambda c, s=s: run_chunk(s, c) for s in tier_sizes],
+                carry,
             )
-            new_done = gather(done) | (tok == eos_token)
-            lengths = jnp.where(gather(done), gather(lengths), step + 1)
-
-            return (tok, hot, anc, tokens, new_done, top_scores, lengths), None
-
-        (cur, hot, anc, tokens, done, scores, lengths), _ = jax.lax.scan(
-            body,
-            (cur, hot, anc, tokens, done, scores, lengths),
-            jnp.arange(chunk),
-        )
+        cur, hot, anc, tokens, done, scores, lengths = carry
         cache = merge_hot(cache, hot, step0)
         return (step0 + chunk, cur, cache, anc, tokens, done, scores, lengths)
 

@@ -50,6 +50,36 @@ from texocr_tpu.utils import topk_filter
 #: so a batch that finishes early stops within CHUNK steps of the last EOS.
 DECODE_CHUNK = 32
 
+#: Number of static prefix-read tiers (see _tier_sizes). The merged-prefix
+#: dots otherwise read the FULL (B, H, dh, padded_len) buffers every step —
+#: at a 256-step decode the average valid prefix is half that, so ~40% of
+#: the self-KV HBM stream (the top post-int8 profile category, ~25% of
+#: decode device time — RESULTS.md round-5 profile) is masked positions.
+#: Each tier compiles its own copy of the chunk scan reading a
+#: statically-sliced prefix; lax.switch picks the smallest tier covering
+#: the current chunk base. Bit-exact: the dropped positions are exactly
+#: the ok_big-masked ones.
+PREFIX_TIERS = 4
+
+
+def _tier_sizes(padded_len: int, chunk: int, ntiers: int = PREFIX_TIERS):
+    """Static prefix widths [q, 2q, ..., padded_len] (chunk multiples) and
+    the tier quantum q. Tier i covers chunk bases t0 <= (i+1)*q."""
+    ntiers = max(1, min(ntiers, padded_len // chunk))
+    q = -(-padded_len // (ntiers * chunk)) * chunk
+    sizes = sorted({min(padded_len, q * (i + 1)) for i in range(ntiers)})
+    return q, sizes
+
+
+def _slice_cache(cache, size: int):
+    """Statically slice every per-layer cache array ((B, H, dh, T) K/V and
+    (B, H, 1, T) int8 scales share axis 3 = positions) to the first ``size``
+    positions."""
+    return tuple(
+        {name: arr[:, :, :, :size] for name, arr in layer.items()}
+        for layer in cache
+    )
+
 
 def _decode_loop(
     model: OCRModel,
@@ -98,47 +128,69 @@ def _decode_loop(
         step0, _, _, _, done, _, _ = state
         return (step0 < max_len) & ~jnp.all(done)
 
+    tier_q, tier_sizes = _tier_sizes(padded_len, chunk)
+
     def chunk_body(state):
         step0, cur, cache, tokens, done, extra, logits_buf = state
         hot = model.apply(
             variables, batch, chunk, method=OCRModel.decoder_init_hot
         )
 
-        def step_body(carry, w):
-            cur, hot, tokens, done, extra, logits_buf = carry
-            step = step0 + w
-            logits, hot = model.apply(
-                variables,
-                cur,
-                step,
-                w,
-                cache,
-                hot,
-                cross_kv,
-                enc_mask,
-                method=OCRModel.decoder_step,
-            )
-            logits = logits.astype(jnp.float32)
-            if return_logits:
-                logits_buf = jax.lax.dynamic_update_slice(
-                    logits_buf, logits[:, None, :], (0, step, 0)
+        def make_step_body(big):
+            def step_body(carry, w):
+                cur, hot, tokens, done, extra, logits_buf = carry
+                step = step0 + w
+                logits, hot = model.apply(
+                    variables,
+                    cur,
+                    step,
+                    w,
+                    big,
+                    hot,
+                    cross_kv,
+                    enc_mask,
+                    method=OCRModel.decoder_step,
                 )
-            nxt, extra = sample_fn(logits, extra)
-            # A finished row stops evolving: emit PAD and freeze the done
-            # flag. Past-EOS cache garbage is harmless — those rows' outputs
-            # are fixed.
-            nxt = jnp.where(done, pad_token, nxt).astype(jnp.int32)
-            tokens = jax.lax.dynamic_update_slice(
-                tokens, nxt[:, None], (0, step)
-            )
-            done = done | (nxt == eos_token)
-            return (nxt, hot, tokens, done, extra, logits_buf), None
+                logits = logits.astype(jnp.float32)
+                if return_logits:
+                    logits_buf = jax.lax.dynamic_update_slice(
+                        logits_buf, logits[:, None, :], (0, step, 0)
+                    )
+                nxt, extra = sample_fn(logits, extra)
+                # A finished row stops evolving: emit PAD and freeze the done
+                # flag. Past-EOS cache garbage is harmless — those rows'
+                # outputs are fixed.
+                nxt = jnp.where(done, pad_token, nxt).astype(jnp.int32)
+                tokens = jax.lax.dynamic_update_slice(
+                    tokens, nxt[:, None], (0, step)
+                )
+                done = done | (nxt == eos_token)
+                return (nxt, hot, tokens, done, extra, logits_buf), None
 
-        (cur, hot, tokens, done, extra, logits_buf), _ = jax.lax.scan(
-            step_body,
-            (cur, hot, tokens, done, extra, logits_buf),
-            jnp.arange(chunk),
-        )
+            return step_body
+
+        def run_chunk(size, carry):
+            # The prefix dots only need positions < t0 <= size; the slice is
+            # hoisted out of the scan (one copy per chunk, amortized over
+            # CHUNK steps of reads at the smaller width).
+            big = _slice_cache(cache, size) if size != padded_len else cache
+            return jax.lax.scan(
+                make_step_body(big), carry, jnp.arange(chunk)
+            )[0]
+
+        carry = (cur, hot, tokens, done, extra, logits_buf)
+        if len(tier_sizes) == 1:
+            carry = run_chunk(tier_sizes[0], carry)
+        else:
+            tier = jnp.clip(
+                (step0 + tier_q - 1) // tier_q - 1, 0, len(tier_sizes) - 1
+            )
+            carry = jax.lax.switch(
+                tier,
+                [lambda c, s=s: run_chunk(s, c) for s in tier_sizes],
+                carry,
+            )
+        cur, hot, tokens, done, extra, logits_buf = carry
         cache = merge_hot(cache, hot, step0)
         return (step0 + chunk, cur, cache, tokens, done, extra, logits_buf)
 
