@@ -291,3 +291,38 @@ def test_split_cache_attention_matches_monolithic():
                 np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5,
                 err_msg=f"t0={t0} w={w}",
             )
+
+
+def test_tier_sizes_invariants():
+    """Every chunk base t0 must be covered by its tier's static width, the
+    last width must equal the buffer, and widths stay chunk multiples."""
+    from texocr_tpu.models.generate import _tier_sizes
+
+    for chunk in (8, 32):
+        for n_chunks in (1, 2, 3, 4, 5, 7, 16):
+            padded = chunk * n_chunks
+            q, sizes = _tier_sizes(padded, chunk)
+            assert sizes[-1] == padded
+            assert sizes == sorted(set(sizes))
+            assert all(s % chunk == 0 for s in sizes)
+            for t0 in range(0, padded, chunk):
+                tier = min(max(0, -(-t0 // q) - 1), len(sizes) - 1)
+                assert sizes[tier] >= t0, (chunk, padded, t0, q, sizes)
+
+
+def test_tiered_decode_matches_single_tier(setup, monkeypatch):
+    """Multi-chunk greedy decode must be bit-identical whether the merged
+    prefix is read at full width every chunk (one tier) or through the
+    statically-sliced tier ladder (PREFIX_TIERS) — the sliced positions are
+    exactly the ok_big-masked ones."""
+    import texocr_tpu.models.generate as gen
+
+    model, params, enc = setup
+    kw = dict(bos_token=BOS, eos_token=-1, pad_token=PAD, max_len=64)
+
+    monkeypatch.setattr(gen, "PREFIX_TIERS", 1)
+    # max_len 64 = 2 chunks of 32; re-derive defaults from the patched value.
+    one = gen.greedy_decode(model, params, enc, **kw)
+    monkeypatch.setattr(gen, "PREFIX_TIERS", 4)
+    tiered = gen.greedy_decode(model, params, enc, **kw)
+    np.testing.assert_array_equal(np.asarray(one), np.asarray(tiered))

@@ -62,9 +62,14 @@ DECODE_CHUNK = 32
 PREFIX_TIERS = 4
 
 
-def _tier_sizes(padded_len: int, chunk: int, ntiers: int = PREFIX_TIERS):
+def _tier_sizes(padded_len: int, chunk: int, ntiers: Optional[int] = None):
     """Static prefix widths [q, 2q, ..., padded_len] (chunk multiples) and
-    the tier quantum q. Tier i covers chunk bases t0 <= (i+1)*q."""
+    the tier quantum q. Tier i covers chunk bases t0 <= (i+1)*q.
+
+    ``ntiers`` defaults to the module's PREFIX_TIERS, read at call time so
+    it can be overridden (tests, experiments) without re-importing."""
+    if ntiers is None:
+        ntiers = PREFIX_TIERS
     ntiers = max(1, min(ntiers, padded_len // chunk))
     q = -(-padded_len // (ntiers * chunk)) * chunk
     sizes = sorted({min(padded_len, q * (i + 1)) for i in range(ntiers)})
