@@ -40,6 +40,15 @@ def parse_args():
                         "pred/gold token ids (tools/confusion_report.py)")
     p.add_argument("--metrics_out", type=str, default=None,
                    help="append per-batch metrics to this JSONL file")
+    p.add_argument("--kv_quant", type=str, default=None,
+                   choices=("none", "int8"),
+                   help="override the config's cross-attention KV-cache "
+                        "quantization (measure the accuracy cost of the "
+                        "bench default on a trained checkpoint)")
+    p.add_argument("--self_kv_quant", type=str, default=None,
+                   choices=("none", "int8"),
+                   help="override the config's decode self-attention "
+                        "merged-prefix quantization")
     return p.parse_args()
 
 
@@ -47,6 +56,10 @@ def main(args):
     from texocr_tpu.utils import pad_to_multiple
 
     config = load_config(args.config)
+    if args.kv_quant is not None:
+        config["kv_quant"] = args.kv_quant
+    if args.self_kv_quant is not None:
+        config["self_kv_quant"] = args.self_kv_quant
     test_set = ImageDataset.load(f"{args.data_dir}/test/testset.pkl")
     # Positional table must cover both the collator's rounded label lengths
     # and the decode budget.

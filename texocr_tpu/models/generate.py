@@ -31,6 +31,7 @@ All functions are pure and jittable; ``max_len`` and shapes are static.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional
 
@@ -48,7 +49,11 @@ from texocr_tpu.utils import topk_filter
 #: the loop body) against a frozen merged cache; the outer lax.while_loop
 #: merges the hot window and checks the per-row done flags between chunks,
 #: so a batch that finishes early stops within CHUNK steps of the last EOS.
-DECODE_CHUNK = 32
+#: Larger chunks amortize the per-chunk merge/relayout cost (~11.6% of
+#: decode device time at 32 — RESULTS.md round-5 profile) over more steps
+#: but widen the hot-window dot every step and coarsen early stopping;
+#: TEXOCR_DECODE_CHUNK overrides for measurement.
+DECODE_CHUNK = int(os.environ.get("TEXOCR_DECODE_CHUNK", "32"))
 
 #: Number of static prefix-read tiers (see _tier_sizes). The merged-prefix
 #: dots otherwise read the FULL (B, H, dh, padded_len) buffers every step —
@@ -58,8 +63,12 @@ DECODE_CHUNK = 32
 #: Each tier compiles its own copy of the chunk scan reading a
 #: statically-sliced prefix; lax.switch picks the smallest tier covering
 #: the current chunk base. Bit-exact: the dropped positions are exactly
-#: the ok_big-masked ones.
-PREFIX_TIERS = 4
+#: the ok_big-masked ones. Compile-time trade-off: every decode function
+#: carries one scan body per tier, so warmup latency scales with the tier
+#: count — TEXOCR_PREFIX_TIERS=1 restores the single full-width read
+#: (same results, one compile) where cold-start matters more than the
+#: long-decode HBM savings.
+PREFIX_TIERS = int(os.environ.get("TEXOCR_PREFIX_TIERS", "4"))
 
 
 def _tier_sizes(padded_len: int, chunk: int, ntiers: Optional[int] = None):

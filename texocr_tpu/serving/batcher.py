@@ -17,6 +17,7 @@ Usage:
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 import time
@@ -25,6 +26,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+from texocr_tpu.models import generate as _generate
 from texocr_tpu.serving.wrapper import TexOCR
 
 
@@ -38,8 +40,20 @@ class ServingBatcher:
         mode: str = "greedy",
         batch_sizes: Optional[Tuple[int, ...]] = None,
         request_timeout_s: Optional[float] = None,
+        prefix_tiers: Optional[int] = 1,
     ):
         self.engine = engine
+        # Serving defaults to a SINGLE prefix-read tier: the tier ladder
+        # (models/generate.py PREFIX_TIERS) multiplies every
+        # (canvas, batch, mode) executable by the tier count — measured as a
+        # multi-fold warmup-compile blowup for a serving instance that warms
+        # 6+ shapes — while its HBM savings only show on long offline
+        # decodes, not the short request budgets served here. Results are
+        # bit-identical either way. Pass prefix_tiers=None to leave the
+        # process-wide setting alone; TEXOCR_PREFIX_TIERS (set before
+        # launch) always wins.
+        if prefix_tiers is not None and "TEXOCR_PREFIX_TIERS" not in os.environ:
+            _generate.PREFIX_TIERS = prefix_tiers
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
         self.max_len = max_len

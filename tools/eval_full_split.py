@@ -72,6 +72,12 @@ def main() -> int:
                         "tools/confusion_report.py (appended across resumes; "
                         "rows from a batch the dying process half-wrote are "
                         "possible but harmless for aggregate confusions)")
+    p.add_argument("--kv_quant", default=None, choices=("none", "int8"),
+                   help="override the config's cross-KV quantization "
+                        "(passed through to evaluation.cli)")
+    p.add_argument("--self_kv_quant", default=None,
+                   choices=("none", "int8"),
+                   help="override the config's self-KV prefix quantization")
     p.add_argument("--max_retries", type=int, default=8,
                    help="max restarts WITHOUT forward progress")
     args = p.parse_args()
@@ -92,6 +98,10 @@ def main() -> int:
             cmd += ["--max_batches", str(args.max_batches)]
         if args.pairs_out:
             cmd += ["--pairs_out", args.pairs_out]
+        if args.kv_quant:
+            cmd += ["--kv_quant", args.kv_quant]
+        if args.self_kv_quant:
+            cmd += ["--self_kv_quant", args.self_kv_quant]
         print(f"[eval_full_split] starting at batch {done + 1} "
               f"(attempt with {stalls} stalls so far)", flush=True)
         rc = subprocess.call(cmd)
