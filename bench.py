@@ -69,12 +69,13 @@ def main():
             # than the dequant costs. Override with TEXOCR_BENCH_KV_QUANT.
             kv_quant=os.environ.get("TEXOCR_BENCH_KV_QUANT", "int8"),
             # Self-attention merged-prefix int8 (see attention.merge_hot):
-            # measured on-chip — at b256/256 steps the self-KV stream is
-            # ~1/3 the cross stream and the extra quant/dequant ops cost
-            # more than the saved bytes, so bf16 stays the default here.
-            # Override with TEXOCR_BENCH_SELF_KV_QUANT=int8.
+            # a measured LOSS in round 4 (full-width prefix reads: the
+            # quant/dequant ops cost more than the saved bytes), flipped
+            # to +3.7% once the tiered prefix reads cut the read width —
+            # 371.6 vs 358.1 img/s at b256 (RESULTS.md round-5 tier A/B).
+            # Override with TEXOCR_BENCH_SELF_KV_QUANT=none for bf16.
             self_kv_quant=os.environ.get("TEXOCR_BENCH_SELF_KV_QUANT",
-                                         "none"),
+                                         "int8"),
         )
     )
 
